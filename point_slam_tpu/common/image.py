@@ -1,0 +1,93 @@
+"""Image-space ops: grayscale, Sobel gradients, dynamic radius maps,
+masked order statistics. Pure JAX (replaces the reference's skimage/scipy
+usage, SURVEY §2.3 N4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# skimage rgb2gray weights (ITU-R 601-2 as used by skimage.color.rgb2gray).
+_GRAY_W = jnp.array([0.2125, 0.7154, 0.0721], dtype=jnp.float32)
+
+# skimage sobel_h kernel: horizontal *edges* (gradient along rows), /4.
+_SOBEL_H = jnp.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=jnp.float32) / 4.0
+_SOBEL_V = _SOBEL_H.T
+
+
+def rgb2gray(img: jnp.ndarray) -> jnp.ndarray:
+    """(H,W,3) float RGB -> (H,W) luminance, skimage-compatible."""
+    return img.astype(jnp.float32) @ _GRAY_W
+
+
+def _conv2_reflect(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """2D correlation with edge-duplicating reflect padding (scipy.ndimage
+    'reflect' == numpy 'symmetric'), the skimage sobel boundary mode."""
+    padded = jnp.pad(img, 1, mode="symmetric")
+    # correlation == convolution with flipped kernel; lax conv does correlation
+    out = jax.lax.conv_general_dilated(
+        padded[None, None, :, :], kernel[None, None, :, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out[0, 0]
+
+
+def sobel_h(img: jnp.ndarray) -> jnp.ndarray:
+    return _conv2_reflect(img, _SOBEL_H)
+
+
+def sobel_v(img: jnp.ndarray) -> jnp.ndarray:
+    return _conv2_reflect(img, _SOBEL_V)
+
+
+def color_gradient_magnitude(color: jnp.ndarray) -> jnp.ndarray:
+    """|∇gray(color)| via Sobel, (H,W). Parity: src/Tracker.py:236-240."""
+    intensity = rgb2gray(color)
+    gy = sobel_h(intensity)
+    gx = sobel_v(intensity)
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+def piecewise_linear(x: jnp.ndarray, xs, ys) -> jnp.ndarray:
+    """scipy.interpolate.interp1d-style piecewise-linear map (no extrapolation;
+    inputs are pre-clipped by the callers, matching reference usage)."""
+    return jnp.interp(x, jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32))
+
+
+def dynamic_radius_maps(color: jnp.ndarray, radius_add_max: float,
+                        radius_add_min: float, radius_query_ratio: float,
+                        color_grad_threshold: float):
+    """Per-pixel (r_add, r_query) from color gradients.
+
+    Parity: src/Tracker.py:235-250 / src/Mapper.py:686-701 — gradient magnitude
+    clipped to [0, thr], mapped through the piecewise-linear ramp
+    [0, 0.01, thr] -> [r_max, r_max, r_min] (and x ratio for query).
+    """
+    g = jnp.clip(color_gradient_magnitude(color), 0.0, color_grad_threshold)
+    xs = [0.0, 0.01, color_grad_threshold]
+    r_add = piecewise_linear(g, xs, [radius_add_max, radius_add_max, radius_add_min])
+    r_query = piecewise_linear(
+        g, xs, [radius_query_ratio * radius_add_max,
+                radius_query_ratio * radius_add_max,
+                radius_query_ratio * radius_add_min])
+    return r_add, r_query
+
+
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over masked entries, torch.median semantics (lower middle:
+    sorted[(n-1)//2]). Returns +inf if the mask is empty."""
+    big = jnp.asarray(jnp.inf, x.dtype)
+    vals = jnp.sort(jnp.where(mask, x, big))
+    n = jnp.sum(mask)
+    idx = jnp.maximum(n - 1, 0) // 2
+    return vals[idx]
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    n = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, x, 0.0)) / n
+
+
+def masked_max(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(jnp.where(mask, x, -jnp.inf))

@@ -1,0 +1,77 @@
+"""Config system: YAML tree with single-parent inheritance.
+
+Behavioral parity with the reference config loader (src/config.py:5-51):
+a scene yaml may name a parent via ``inherit_from``; parents are loaded
+first and recursively overridden by the child. The CLI supplies a default
+root (configs/point_slam.yaml) used when the chain has no parent.
+
+The full ~80-key surface of the reference's configs/point_slam.yaml is kept
+so reference scene YAMLs run unmodified; TPU-specific knobs live under the
+new ``tpu`` section (all optional, defaulted here).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+# TPU-specific defaults (not present in reference configs; merged in).
+TPU_DEFAULTS: Dict[str, Any] = {
+    "tpu": {
+        "point_capacity_init": 1 << 17,   # initial padded point buffer size
+        "point_capacity_max": 1 << 22,    # hard cap
+        "knn_backend": "grid",            # 'grid' | 'brute'
+        "grid_max_per_cell": 96,          # candidate cap per hash cell
+        "grid_table_size": 1 << 20,       # hash table size
+        "dtype": "float32",
+        "data_parallel": 1,               # number of devices to shard ray batches over
+        "keyframe_device_budget": 400,    # max keyframes held on device
+    },
+}
+
+
+def update_recursive(dict1: Dict[str, Any], dict2: Dict[str, Any]) -> None:
+    """Recursively override ``dict1`` with entries from ``dict2`` (in place)."""
+    for k, v in dict2.items():
+        if isinstance(v, dict):
+            if not isinstance(dict1.get(k), dict):
+                dict1[k] = {}
+            update_recursive(dict1[k], v)
+        else:
+            dict1[k] = v
+
+
+def load_config(path: str, default_path: Optional[str] = None,
+                _root: Optional[str] = None) -> Dict[str, Any]:
+    """Load a YAML config, following its ``inherit_from`` chain.
+
+    ``inherit_from`` paths are resolved the same way the reference resolves
+    them (relative to the process CWD); if not found there, we additionally
+    try relative to this repo root so configs work from any CWD.
+    """
+    with open(path, "r") as f:
+        cfg_special = yaml.safe_load(f) or {}
+
+    inherit_from = cfg_special.get("inherit_from")
+    if inherit_from is not None:
+        parent = inherit_from
+        if not os.path.exists(parent):
+            here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            cand = os.path.join(here, inherit_from)
+            if os.path.exists(cand):
+                parent = cand
+        cfg = load_config(parent, default_path)
+    elif default_path is not None:
+        with open(default_path, "r") as f:
+            cfg = yaml.safe_load(f) or {}
+        base = copy.deepcopy(TPU_DEFAULTS)
+        update_recursive(base, cfg)
+        cfg = base
+    else:
+        cfg = copy.deepcopy(TPU_DEFAULTS)
+
+    update_recursive(cfg, cfg_special)
+    return cfg

@@ -1,0 +1,97 @@
+import numpy as np
+import jax.numpy as jnp
+
+from point_slam_tpu.ops import knn
+
+
+def make_cloud(n, cap, seed=0, scale=2.0):
+    rng = np.random.default_rng(seed)
+    pts = np.zeros((cap, 3), np.float32)
+    pts[:n] = rng.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+    # junk in the padding region must never be returned
+    pts[n:] = 1e6
+    return pts, rng
+
+
+def numpy_knn(pts, n, queries, k):
+    d = ((queries[:, None, :] - pts[None, :n, :]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    dd = np.take_along_axis(d, idx, axis=1)
+    if n < k:
+        pad = k - n
+        dd = np.concatenate([dd, np.full((len(queries), pad), np.inf)], 1)
+        idx = np.concatenate([idx, np.zeros((len(queries), pad), int)], 1)
+    return dd, idx
+
+
+def test_brute_knn_exact():
+    cap, n, q = 512, 300, 64
+    pts, rng = make_cloud(n, cap, seed=1)
+    queries = rng.uniform(-2, 2, size=(q, 3)).astype(np.float32)
+    d, i, v = knn.brute_knn(jnp.asarray(pts), jnp.asarray(n), jnp.asarray(queries),
+                            k=8, tile=128)
+    rd, ri = numpy_knn(pts, n, queries, 8)
+    np.testing.assert_allclose(np.asarray(d), rd, rtol=1e-4, atol=1e-5)
+    assert np.all(np.asarray(v))
+    # indices can differ on exact ties; compare distances at returned indices
+    chk = ((queries[:, None, :] - pts[np.asarray(i)]) ** 2).sum(-1)
+    np.testing.assert_allclose(chk, rd, rtol=1e-4, atol=1e-5)
+
+
+def test_brute_knn_fewer_points_than_k():
+    cap, n, q = 64, 3, 8
+    pts, rng = make_cloud(n, cap, seed=2)
+    queries = rng.uniform(-2, 2, size=(q, 3)).astype(np.float32)
+    d, i, v = knn.brute_knn(jnp.asarray(pts), jnp.asarray(n), jnp.asarray(queries), k=8)
+    assert np.all(np.asarray(v)[:, :3])
+    assert not np.any(np.asarray(v)[:, 3:])
+    assert np.all(np.isinf(np.asarray(d)[:, 3:]))
+
+
+def test_grid_knn_matches_brute_within_radius():
+    """Grid search must recover every in-radius neighbor the oracle finds."""
+    cap, n, q = 2048, 1500, 256
+    radius = 0.25
+    pts, rng = make_cloud(n, cap, seed=3)
+    queries = (pts[rng.integers(0, n, size=q)] +
+               rng.normal(scale=0.08, size=(q, 3)).astype(np.float32))
+    idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                               jnp.asarray(radius), table_size=1 << 14)
+    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(pts), jnp.asarray(queries),
+                              k=8, max_per_cell=96)
+    rd, ri = numpy_knn(pts, n, queries, 8)
+    gd, gv = np.asarray(gd), np.asarray(gv)
+    # wherever the oracle's k-th neighbor is within the radius, grid must agree
+    in_radius = rd < radius ** 2
+    np.testing.assert_allclose(np.where(in_radius, gd, 0.0),
+                               np.where(in_radius, rd, 0.0),
+                               rtol=1e-4, atol=1e-5)
+    # counts within radius agree
+    gc = np.asarray(knn.neighbor_count(jnp.asarray(gd), jnp.asarray(gv),
+                                       jnp.asarray(radius)))
+    rc = in_radius.sum(1)
+    np.testing.assert_array_equal(gc, rc)
+
+
+def test_grid_knn_per_query_radius_counts():
+    cap, n, q = 1024, 700, 128
+    pts, rng = make_cloud(n, cap, seed=4)
+    queries = pts[:q] + rng.normal(scale=0.02, size=(q, 3)).astype(np.float32)
+    radii = rng.uniform(0.02, 0.2, size=q).astype(np.float32)
+    idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n), jnp.asarray(0.2))
+    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(pts), jnp.asarray(queries), k=8)
+    counts = np.asarray(knn.neighbor_count(jnp.asarray(gd), jnp.asarray(gv),
+                                           jnp.asarray(radii)))
+    rd, _ = numpy_knn(pts, n, queries, 8)
+    ref_counts = (rd < radii[:, None] ** 2).sum(1)
+    np.testing.assert_array_equal(counts, ref_counts)
+
+
+def test_grid_knn_empty_cloud():
+    cap = 128
+    pts = np.full((cap, 3), 1e6, np.float32)
+    queries = np.zeros((4, 3), np.float32)
+    idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(0), jnp.asarray(0.1))
+    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(pts), jnp.asarray(queries), k=8)
+    assert not np.any(np.asarray(gv))
+    assert np.all(np.isinf(np.asarray(gd)))
