@@ -1,0 +1,218 @@
+"""Dynamic neural point cloud as padded static-shape device buffers.
+
+TPU-native redesign of the reference NeuralPointCloud (src/neural_point.py):
+instead of python lists + a FAISS index living in a manager process, the cloud
+is a pytree of pre-allocated HBM arrays with a live count; insertion is a
+masked compact-scatter (one jit), and neighbor search goes through the
+grid-hash index (ops/knn.py) rebuilt as a jit after each insertion.
+
+Semantics preserved:
+* points added only at locations with no existing neighbor within the
+  (per-ray dynamic) add radius (src/neural_point.py:118-121)
+* N_add points per accepted location along the ray in
+  [near_end_surface*d, far_end_surface*d] (or a fixed +-4cm interval)
+  (src/neural_point.py:126-147)
+* new features ~ N(0, 0.1) (src/neural_point.py:150-159)
+* input_pos/input_rgb record the accepted surface locations (rgb*255)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from point_slam_tpu.ops import knn
+
+
+class CloudState(NamedTuple):
+    pos: jnp.ndarray        # (CAP, 3) neural point positions
+    geo_feats: jnp.ndarray  # (CAP, c_dim)
+    col_feats: jnp.ndarray  # (CAP, c_dim)
+    n_points: jnp.ndarray   # () int32
+    input_pos: jnp.ndarray  # (CAP // N_add, 3) accepted surface locations
+    input_rgb: jnp.ndarray  # (CAP // N_add, 3) rgb * 255
+    n_inputs: jnp.ndarray   # () int32
+
+
+def init_cloud(capacity: int, c_dim: int, n_add: int) -> CloudState:
+    icap = capacity // n_add
+    return CloudState(
+        pos=jnp.full((capacity, 3), 1e6, jnp.float32),
+        geo_feats=jnp.zeros((capacity, c_dim), jnp.float32),
+        col_feats=jnp.zeros((capacity, c_dim), jnp.float32),
+        n_points=jnp.zeros((), jnp.int32),
+        input_pos=jnp.zeros((icap, 3), jnp.float32),
+        input_rgb=jnp.zeros((icap, 3), jnp.float32),
+        n_inputs=jnp.zeros((), jnp.int32),
+    )
+
+
+def grow_cloud(state: CloudState, new_capacity: int, n_add: int) -> CloudState:
+    """Host-side capacity doubling (bounded recompiles)."""
+    cap = state.pos.shape[0]
+    extra = new_capacity - cap
+    icap_extra = new_capacity // n_add - state.input_pos.shape[0]
+    return CloudState(
+        pos=jnp.concatenate([state.pos, jnp.full((extra, 3), 1e6, jnp.float32)]),
+        geo_feats=jnp.concatenate(
+            [state.geo_feats, jnp.zeros((extra, state.geo_feats.shape[1]), jnp.float32)]),
+        col_feats=jnp.concatenate(
+            [state.col_feats, jnp.zeros((extra, state.col_feats.shape[1]), jnp.float32)]),
+        n_points=state.n_points,
+        input_pos=jnp.concatenate(
+            [state.input_pos, jnp.zeros((icap_extra, 3), jnp.float32)]),
+        input_rgb=jnp.concatenate(
+            [state.input_rgb, jnp.zeros((icap_extra, 3), jnp.float32)]),
+        n_inputs=state.n_inputs,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_add", "fix_interval", "max_per_cell", "use_dedup"))
+def add_points(state: CloudState, index: knn.GridIndex,
+               rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+               gt_depth: jnp.ndarray, gt_color: jnp.ndarray,
+               ray_valid: jnp.ndarray, dedup_radius: jnp.ndarray,
+               key: jnp.ndarray,
+               near_end_surface: jnp.ndarray, far_end_surface: jnp.ndarray,
+               n_add: int = 3, fix_interval: bool = False,
+               max_per_cell: int = 96, use_dedup: bool = True,
+               ) -> Tuple[CloudState, jnp.ndarray]:
+    """Densify the cloud from a fixed-size candidate ray batch.
+
+    Returns (new_state, n_accepted_locations). The caller must guarantee
+    capacity for n_valid_rays * n_add new points (grow_cloud beforehand).
+    """
+    cap = state.pos.shape[0]
+    icap = state.input_pos.shape[0]
+    b = rays_o.shape[0]
+    c_dim = state.geo_feats.shape[1]
+
+    valid = ray_valid & (gt_depth > 0)
+    pts_gt = rays_o + rays_d * gt_depth[:, None]
+
+    if use_dedup:
+        d, i, v = knn.grid_knn(index, state.pos, pts_gt, k=8,
+                               max_per_cell=max_per_cell)
+        counts = knn.neighbor_count(d, v, dedup_radius)
+        # an untrained/empty cloud accepts everything (index.is_trained False
+        # branch of src/neural_point.py:118)
+        counts = jnp.where(state.n_points > 0, counts, 0)
+        accept = valid & (counts == 0)
+    else:
+        accept = valid
+
+    # ---- input locations (one row per accepted ray)
+    loc_off = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    loc_dst = jnp.where(accept, state.n_inputs + loc_off, icap)  # icap = dropped
+    loc_dst = jnp.minimum(loc_dst, icap)  # out-of-range rows dropped by scatter
+    input_pos = state.input_pos.at[loc_dst].set(pts_gt, mode="drop")
+    input_rgb = state.input_rgb.at[loc_dst].set(gt_color * 255.0, mode="drop")
+    n_acc = jnp.sum(accept.astype(jnp.int32))
+
+    # ---- neural points: n_add per accepted location along the ray
+    t_vals = jnp.linspace(0.0, 1.0, n_add)
+    if fix_interval:
+        z_vals = gt_depth[:, None] + jnp.linspace(-0.04, 0.04, n_add)[None, :]
+    else:
+        z_vals = (near_end_surface * gt_depth[:, None] * (1.0 - t_vals)[None, :]
+                  + far_end_surface * gt_depth[:, None] * t_vals[None, :])
+    new_pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]  # (B,n_add,3)
+
+    pt_dst = jnp.where(accept[:, None],
+                       state.n_points + loc_off[:, None] * n_add
+                       + jnp.arange(n_add)[None, :], cap)
+    pt_dst = jnp.minimum(pt_dst, cap).reshape(-1)
+    pos = state.pos.at[pt_dst].set(new_pts.reshape(-1, 3), mode="drop")
+
+    kg, kc = jax.random.split(key)
+    new_geo = 0.1 * jax.random.normal(kg, (b * n_add, c_dim), jnp.float32)
+    new_col = 0.1 * jax.random.normal(kc, (b * n_add, c_dim), jnp.float32)
+    geo_feats = state.geo_feats.at[pt_dst].set(new_geo, mode="drop")
+    col_feats = state.col_feats.at[pt_dst].set(new_col, mode="drop")
+
+    new_state = CloudState(
+        pos=pos, geo_feats=geo_feats, col_feats=col_feats,
+        n_points=state.n_points + n_acc * n_add,
+        input_pos=input_pos, input_rgb=input_rgb,
+        n_inputs=state.n_inputs + n_acc)
+    return new_state, n_acc
+
+
+def build_index(state: CloudState, cell_size, table_size: int = 1 << 20
+                ) -> knn.GridIndex:
+    return knn.build_grid_index(state.pos, state.n_points,
+                                jnp.asarray(cell_size, jnp.float32), table_size)
+
+
+@functools.partial(jax.jit, static_argnames=("num", "intervals", "max_per_cell"))
+def sample_near_pcl(index: knn.GridIndex, pos: jnp.ndarray,
+                    rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                    near, far, r_query: jnp.ndarray,
+                    num: int = 5, intervals: int = 25, max_per_cell: int = 96):
+    """Depth-free rays: march `intervals` coarse samples, keep rays with >=2
+    samples near the cloud and place `num` z-values between the first two such
+    samples (faithful to src/neural_point.py:217-277, including the quirk that
+    the segment ends at the *second* near-cloud sample, not the last).
+
+    Returns (z_vals (R,num), invalid_mask (R,) True where not near the cloud).
+    """
+    r = rays_o.shape[0]
+    z_sec = jnp.linspace(near, far, intervals)                 # (I,)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_sec[None, :, None]
+    d, i, v = knn.grid_knn(index, pos, pts.reshape(-1, 3), k=8,
+                           max_per_cell=max_per_cell)
+    counts = knn.neighbor_count(d, v, r_query).reshape(r, intervals)
+    has = counts > 0                                           # (R,I)
+    n_near = jnp.sum(has.astype(jnp.int32), axis=1)
+    invalid = n_near < 2
+
+    order = jnp.argsort(~has, axis=1, stable=True)             # near samples first
+    first = z_sec[order[:, 0]]
+    second = z_sec[order[:, 1]]
+    t = jnp.linspace(0.0, 1.0, num)
+    z_near = first[:, None] * (1 - t)[None, :] + second[:, None] * t[None, :]
+    z_uniform = jnp.broadcast_to(jnp.linspace(near, far, num), (r, num))
+    z_vals = jnp.where(invalid[:, None], z_uniform, z_near)
+    return z_vals.astype(jnp.float32), invalid
+
+
+@jax.jit
+def frustum_mask(pos: jnp.ndarray, n_points: jnp.ndarray, w2c: jnp.ndarray,
+                 depth: jnp.ndarray, fx, fy, cx, cy, edge) -> jnp.ndarray:
+    """Which cloud points are optimizable for the current frame.
+
+    Parity with Mapper.get_mask_from_c2w (src/Mapper.py:120-168): project all
+    points (x-axis flipped), bilinear depth lookup with zero-outside border
+    (cv2.remap INTER_LINEAR), zero depth samples replaced by the max sampled
+    depth, then mask = inside enlarged frustum and 0 <= -z <= depth + 0.5.
+    """
+    from point_slam_tpu.common.camera import project_points
+    h, w = depth.shape
+    u, v, z = project_points(pos, w2c, fx, fy, cx, cy)
+
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    du = u - x0
+    dv = v - y0
+
+    def tap(yy, xx):
+        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        val = depth[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        return jnp.where(inside, val, 0.0)
+
+    d00 = tap(y0, x0)
+    d01 = tap(y0, x0 + 1)
+    d10 = tap(y0 + 1, x0)
+    d11 = tap(y0 + 1, x0 + 1)
+    samp = (d00 * (1 - du) * (1 - dv) + d01 * du * (1 - dv)
+            + d10 * (1 - du) * dv + d11 * du * dv)
+
+    samp = jnp.where(samp == 0.0, jnp.max(samp), samp)
+    mask = (u < w - edge) & (u > edge) & (v < h - edge) & (v > edge)
+    mask &= (0 <= -z) & (-z <= samp + 0.5)
+    mask &= jnp.arange(pos.shape[0]) < n_points
+    return mask

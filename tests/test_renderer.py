@@ -1,0 +1,113 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from point_slam_tpu import pointcloud as pc
+from point_slam_tpu import renderer as R
+from point_slam_tpu.common import camera
+from point_slam_tpu.models import decoders as D
+
+
+def setup_scene():
+    """A wall of neural points at z=-2 observed from the origin."""
+    cfg = {"model": {"c_dim": 32, "exposure_dim": 8,
+                     "pos_embedding_method": "fourier",
+                     "encode_rel_pos_in_col": True, "encode_exposure": False,
+                     "use_view_direction": False, "encode_viewd": True}}
+    params = D.init_decoders(jax.random.key(0), cfg)
+    state = pc.init_cloud(1 << 13, 32, 3)
+    index = pc.build_index(state, 0.16, table_size=1 << 14)
+    n = 24
+    xs, ys = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n))
+    o = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], -1).astype(np.float32)
+    d = np.tile(np.array([0, 0, -1], np.float32), (n * n, 1))
+    dep = np.full(n * n, 2.0, np.float32)
+    col = np.random.default_rng(0).random((n * n, 3)).astype(np.float32)
+    state, added = pc.add_points(state, index, jnp.asarray(o), jnp.asarray(d),
+                                 jnp.asarray(dep), jnp.asarray(col),
+                                 jnp.ones(n * n, bool), jnp.full(n * n, 0.04),
+                                 jax.random.key(1), 0.98, 1.02)
+    index = pc.build_index(state, 0.16, table_size=1 << 14)
+    return params, state, index
+
+
+def make_rays(num, origin_y=0.0):
+    rng = np.random.default_rng(2)
+    o = np.zeros((num, 3), np.float32)
+    o[:, 1] = origin_y
+    d = np.stack([rng.uniform(-0.3, 0.3, num), rng.uniform(-0.3, 0.3, num),
+                  -np.ones(num)], -1).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_render_rays_shapes_and_masks():
+    params, state, index = setup_scene()
+    rc = R.RenderConfig(sample_near_pcl=False)
+    o, d = make_rays(32)
+    gt = jnp.full(32, 2.0)
+    gt = gt.at[5].set(0.0)  # one depth-free ray
+    rq = jnp.full(32, 0.16)
+    dep, unc, col, valid = R.render_rays(
+        params, state.geo_feats, state.col_feats, state.pos, state.n_points,
+        index, o, d, gt, rq, jnp.ones(32, bool), jax.random.key(3), rc,
+        stage_color=True)
+    dep, unc, col, valid = map(np.asarray, (dep, unc, col, valid))
+    assert dep.shape == (32,) and col.shape == (32, 3) and unc.shape == (32,)
+    assert np.isfinite(dep).all() and np.isfinite(col).all()
+    assert dep[5] == 0.0  # zero-depth ray forced to 0 when not sample_near_pcl
+    # rays through the wall should mostly be valid and render near z=2
+    assert valid[np.arange(32) != 5].mean() > 0.8
+    hit = valid & (np.abs(dep) > 0)
+    assert np.abs(dep[hit] - 2.0).max() < 0.1  # samples only span [1.96, 2.04]
+    assert (col >= 0).all() and (col <= 1).all()
+
+
+def test_render_geometry_stage_no_color():
+    params, state, index = setup_scene()
+    rc = R.RenderConfig(sample_near_pcl=False)
+    o, d = make_rays(16)
+    gt = jnp.full(16, 2.0)
+    dep, unc, col, valid = R.render_rays(
+        params, state.geo_feats, state.col_feats, state.pos, state.n_points,
+        index, o, d, gt, jnp.full(16, 0.16), jnp.ones(16, bool),
+        jax.random.key(4), rc, stage_color=False)
+    assert np.allclose(np.asarray(col), 0.0)
+
+
+def test_tracker_gradients_flow_to_pose():
+    params, state, index = setup_scene()
+    rc = R.RenderConfig(sample_near_pcl=False)
+    cam_t = jnp.asarray(camera.tensor_from_pose_matrix(np.eye(4)))
+    rng = np.random.default_rng(5)
+    ii = jnp.asarray(rng.uniform(10, 50, 64), jnp.float32)
+    jj = jnp.asarray(rng.uniform(10, 40, 64), jnp.float32)
+    gt = jnp.full(64, 2.0)
+
+    def loss_fn(ct):
+        c2w = camera.pose_matrix_from_tensor(ct)
+        o, d = camera.rays_from_uv(ii, jj, c2w, 30.0, 30.0, 32.0, 24.0)
+        dep, unc, col, valid = R.render_rays(
+            params, state.geo_feats, state.col_feats, state.pos,
+            state.n_points, index, o, d, gt, jnp.full(64, 0.16),
+            jnp.ones(64, bool), jax.random.key(6), rc,
+            stage_color=True, is_tracker=True)
+        return jnp.sum(jnp.where(valid, jnp.abs(gt - dep), 0.0))
+
+    g = np.asarray(jax.grad(loss_fn)(cam_t))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0, "pose gradient must be nonzero"
+
+
+def test_render_img_full_frame():
+    params, state, index = setup_scene()
+    rc = R.RenderConfig(sample_near_pcl=False, ray_batch=512)
+    h, w = 24, 32
+    c2w = jnp.eye(4)
+    gt_depth = jnp.full((h, w), 2.0)
+    r_query = jnp.full((h, w), 0.16)
+    dep, unc, col = R.render_img(params, state, index, c2w,
+                                 (20.0, 20.0, 15.5, 11.5), (h, w), rc,
+                                 jax.random.key(7), gt_depth, r_query)
+    assert dep.shape == (h, w) and col.shape == (h, w, 3)
+    center = np.asarray(dep[8:16, 12:20])
+    assert np.abs(center - 2.0).max() < 0.1
