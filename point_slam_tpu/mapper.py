@@ -1,0 +1,604 @@
+"""Mapper: per-frame scene optimization as a single compiled XLA program.
+
+TPU-native re-design of the reference Mapper (src/Mapper.py). Per mapped
+frame the host orchestrates (dynamic radius maps, keyframe-window selection,
+point densification, frustum feature selection, iteration budgeting), then a
+single jit — a `lax.while_loop` over the joint iterations — runs the whole
+two-stage (geometry -> color) Adam optimization on device: ray sampling from
+the device-resident keyframe window, fused rendering, masked losses, and
+per-group Adam updates with the reference's LR schedule driven by traced
+scalars (no recompiles across frames/stages/iteration budgets).
+
+Parity map:
+* keyframe overlap selection      src/Mapper.py:170-235
+* densification + iteration scale src/Mapper.py:306-331,404-406
+* frustum feature selection       src/Mapper.py:120-168,342-356 (gradient mask)
+* two-stage loop + LR schedule    src/Mapper.py:408-439
+* ray batches + robust masks      src/Mapper.py:447-553
+* exposure affine per keyframe    src/Mapper.py:529-548 (per-ray gather)
+* color refinement                src/Mapper.py:706-726
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from point_slam_tpu import pointcloud as pc
+from point_slam_tpu import renderer as R
+from point_slam_tpu.common import camera, image, sampling
+from point_slam_tpu.models import decoders as D
+from point_slam_tpu.ops import adam, knn
+
+
+class MapperStatic(NamedTuple):
+    """Hashable statics for the mapping jit."""
+    h: int
+    w: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    r_max: int            # ray batch size == mapping.pixels
+    f_max: int            # window slots
+    w_color_loss: float
+    frustum_edge: float
+    fix_geo_decoder: bool
+    encode_exposure: bool
+    n_add: int
+    near_end_surface_pc: float
+    far_end_surface_pc: float
+    add_max: int          # candidate rays for uniform densification
+    grad_max: int         # candidate rays for color-grad densification
+    grad_top: int         # top-k pool for color-grad selection
+    max_iters: int        # safety bound for the while_loop
+
+
+class KeyframeRing(NamedTuple):
+    color: jnp.ndarray     # (K, H, W, 3)
+    depth: jnp.ndarray     # (K, H, W)
+    r_query: jnp.ndarray   # (K, H, W)
+    est_c2w: jnp.ndarray   # (K, 4, 4)
+    gt_c2w: jnp.ndarray    # (K, 4, 4)
+    exposure: jnp.ndarray  # (K, 8)
+
+
+def init_ring(k: int, h: int, w: int, exposure_dim: int = 8) -> KeyframeRing:
+    return KeyframeRing(
+        color=jnp.zeros((k, h, w, 3), jnp.float32),
+        depth=jnp.zeros((k, h, w), jnp.float32),
+        r_query=jnp.full((k, h, w), 1e6, jnp.float32),
+        est_c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (k, 1, 1)),
+        gt_c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (k, 1, 1)),
+        exposure=jnp.zeros((k, exposure_dim), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
+def ring_set(ring: KeyframeRing, slot, color, depth, r_query, est_c2w, gt_c2w,
+             exposure) -> KeyframeRing:
+    return KeyframeRing(
+        color=ring.color.at[slot].set(color),
+        depth=ring.depth.at[slot].set(depth),
+        r_query=ring.r_query.at[slot].set(r_query),
+        est_c2w=ring.est_c2w.at[slot].set(est_c2w),
+        gt_c2w=ring.gt_c2w.at[slot].set(gt_c2w),
+        exposure=ring.exposure.at[slot].set(exposure),
+    )
+
+
+# ------------------------------------------------------------ keyframe overlap
+
+@functools.partial(jax.jit, static_argnames=("ms", "n_samples", "pixels"))
+def overlap_scores(ms: MapperStatic, ring_est_c2w, n_kf, cur_c2w, gt_color,
+                   gt_depth, key, n_samples: int = 8, pixels: int = 200):
+    """Fraction of current-frame surface samples inside each keyframe frustum
+    (src/Mapper.py:170-235). Returns (K,) scores; slots >= n_kf get -1."""
+    h, w = ms.h, ms.w
+    i, j = sampling.sample_pixels_uniform(key, 0, h, 0, w, pixels)
+    dep = sampling.gather_pixels(gt_depth, i, j)
+    ok = dep > 0
+    rays_o, rays_d = camera.rays_from_uv(i, j, cur_c2w, ms.fx, ms.fy, ms.cx, ms.cy)
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    near = (dep * 0.8)[:, None]
+    far = (dep + 0.5)[:, None]
+    z = near * (1 - t)[None, :] + far * t[None, :]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    pts = pts.reshape(-1, 3)
+    pt_ok = jnp.repeat(ok, n_samples)
+
+    def score_one(c2w):
+        w2c = jnp.linalg.inv(c2w)
+        u, v, zc = camera.project_points(pts, w2c, ms.fx, ms.fy, ms.cx, ms.cy)
+        edge = 20
+        m = ((u < w - edge) & (u > edge) & (v < h - edge) & (v > edge)
+             & (zc < 0) & pt_ok)
+        return jnp.sum(m) / jnp.maximum(jnp.sum(pt_ok), 1)
+
+    scores = jax.vmap(score_one)(ring_est_c2w)
+    k = ring_est_c2w.shape[0]
+    return jnp.where(jnp.arange(k) < n_kf, scores, -1.0)
+
+
+# ----------------------------------------------------------- frame preparation
+
+@functools.partial(jax.jit, static_argnames=("r_add_max", "r_add_min",
+                                             "ratio", "thr", "grad_top"))
+def prepare_frame(color, r_add_max: float, r_add_min: float,
+                  ratio: float, thr: float, grad_top: int):
+    """Dynamic radius maps + color-gradient candidate pool for one frame."""
+    r_add, r_query = image.dynamic_radius_maps(color, r_add_max, r_add_min,
+                                               ratio, thr)
+    grad = image.color_gradient_magnitude(color)
+    h, w = grad.shape
+    cand_idx, cand_ok = sampling.top_gradient_candidates(
+        grad, 0, h, 0, w, grad_top)
+    return r_add, r_query, cand_idx, cand_ok
+
+
+# -------------------------------------------------------------- the main jit
+
+def _sample_window_rays(ms: MapperStatic, key, window, n_frames,
+                        pixs_per_image, c2w_all):
+    """One iteration's ray batch from the keyframe window (device).
+
+    window: dict with color (F,H,W,3), depth, r_query.
+    Returns dict of (R,) arrays + per-ray slot + validity.
+    """
+    rmax = ms.r_max
+    slot = jnp.arange(rmax) // jnp.maximum(pixs_per_image, 1)
+    ray_ok = slot < n_frames
+    slot = jnp.minimum(slot, ms.f_max - 1)
+    ki, kj = jax.random.split(key)
+    i = jax.random.randint(ki, (rmax,), 0, ms.w).astype(jnp.int32)
+    j = jax.random.randint(kj, (rmax,), 0, ms.h).astype(jnp.int32)
+    col = window["color"][slot, j, i]
+    dep = window["depth"][slot, j, i]
+    rq = window["r_query"][slot, j, i]
+    c2w = c2w_all[slot]                                     # (R,4,4)
+    dirs = jnp.stack([(i.astype(jnp.float32) - ms.cx) / ms.fx,
+                      -(j.astype(jnp.float32) - ms.cy) / ms.fy,
+                      -jnp.ones((rmax,), jnp.float32)], -1)
+    rays_d = jnp.einsum("rkl,rl->rk", c2w[:, :3, :3], dirs)
+    rays_o = c2w[:, :3, 3]
+    ray_ok &= dep > 0                                       # depth_filter
+    med = image.masked_median(dep, ray_ok)
+    mx = image.masked_max(dep, ray_ok)
+    inside = dep <= jnp.minimum(10.0 * med, 1.2 * mx)       # Mapper.py:507-509
+    ray_ok &= inside
+    return dict(rays_o=rays_o, rays_d=rays_d, gt_depth=dep, gt_color=col,
+                r_query=rq, slot=slot, ray_ok=ray_ok)
+
+
+def _losses(ms: MapperStatic, rc: R.RenderConfig, params, geo_feats, col_feats,
+            window_exposure, cloud_pos, n_points, index, rays, key,
+            stage_color: bool, ba_c2w=None):
+    """Masked geometry(+color) losses for one ray batch. Returns
+    (loss, (geo_loss, color_loss, n_mask))."""
+    depth, uncertainty, color, valid_ray = R.render_rays(
+        params, geo_feats, col_feats, cloud_pos, n_points, index,
+        rays["rays_o"], rays["rays_d"], rays["gt_depth"], rays["r_query"],
+        rays["ray_ok"], key, rc, stage_color=stage_color,
+        is_tracker=False, apply_sigmoid_color=not ms.encode_exposure)
+
+    mask = (rays["gt_depth"] > 0) & valid_ray & rays["ray_ok"]
+    mask &= ~jnp.isnan(depth)
+    geo_loss = jnp.sum(jnp.where(mask, jnp.abs(rays["gt_depth"] - depth), 0.0))
+    loss = geo_loss
+    color_loss = jnp.zeros(())
+    if stage_color:
+        if ms.encode_exposure:
+            rot, trans = D.exposure_affine(params["col"], window_exposure)
+            color = jnp.einsum("rk,rkl->rl", color, rot[rays["slot"]]) \
+                + trans[rays["slot"]]
+            color = jax.nn.sigmoid(color)
+        color_loss = jnp.sum(jnp.where(
+            mask[:, None], jnp.abs(rays["gt_color"] - color), 0.0))
+        loss = loss + ms.w_color_loss * color_loss
+    return loss, (geo_loss, color_loss, jnp.sum(mask))
+
+
+@functools.partial(jax.jit, static_argnames=("ms", "rc"))
+def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
+                 params, geo_feats, col_feats, cloud_pos, n_points, index,
+                 window_color, window_depth, window_rquery, window_c2w,
+                 window_exposure, n_frames, pixs_per_image, cur_slot,
+                 frustum, lr_geo_stage, lr_color_stage, lr_exposure,
+                 fix_color, geo_iter_bound, n_iters, key):
+    """The per-frame mapping optimization: while_loop over joint iterations.
+
+    Traced knobs: LR triples [decoders, geometry_feats, color_feats] for each
+    stage, the geometry/color switch iteration, the iteration count, the
+    frustum gradient mask, and a 0/1 multiplier freezing the color decoder
+    (color refinement). Returns updated (params, geo_feats, col_feats,
+    window_exposure, stats).
+    """
+    window = dict(color=window_color, depth=window_depth, r_query=window_rquery)
+
+    diff0 = {"col": params["col"], "geo_feats": geo_feats,
+             "col_feats": col_feats, "exposure": window_exposure}
+    if not ms.fix_geo_decoder:
+        diff0["geo"] = params["geo"]
+    opt0 = adam.init_state(diff0)
+
+    def build_params(diff):
+        p = {"col": diff["col"],
+             "geo": diff.get("geo", params["geo"])}
+        return p
+
+    def loss_fn(diff, rays, it_key, stage_color):
+        p = build_params(diff)
+        return _losses(ms, rc, p, diff["geo_feats"], diff["col_feats"],
+                       diff["exposure"], cloud_pos, n_points, index, rays,
+                       it_key, stage_color)
+
+    grad_geo = jax.value_and_grad(
+        lambda d, r, k: loss_fn(d, r, k, False), has_aux=True)
+    grad_col = jax.value_and_grad(
+        lambda d, r, k: loss_fn(d, r, k, True), has_aux=True)
+
+    exp_onehot = (jnp.arange(window_exposure.shape[0]) == cur_slot
+                  ).astype(jnp.float32)[:, None]
+
+    def body(carry):
+        it, diff, opt, key, _stats = carry
+        key, k_rays, k_render = jax.random.split(key, 3)
+        rays = _sample_window_rays(ms, k_rays, window, n_frames,
+                                   pixs_per_image, window_c2w)
+        stage_geo = it <= geo_iter_bound
+        (loss, aux), grads = jax.lax.cond(
+            stage_geo,
+            lambda d: grad_geo(d, rays, k_render),
+            lambda d: grad_col(d, rays, k_render),
+            diff)
+
+        # gradient masking: frustum-selected features only; exposure only for
+        # the current frame; color decoder frozen during refinement
+        fmask = frustum[:, None].astype(jnp.float32)
+        grads["geo_feats"] = grads["geo_feats"] * fmask
+        grads["col_feats"] = grads["col_feats"] * fmask
+        grads["exposure"] = grads["exposure"] * exp_onehot
+        grads["col"] = jax.tree_util.tree_map(lambda g: g * fix_color,
+                                              grads["col"])
+
+        lrs = jnp.where(stage_geo, lr_geo_stage, lr_color_stage)
+        t = (it + 1).astype(jnp.float32)
+
+        new_diff = dict(diff)
+        new_opt = dict(m=dict(opt["m"]), v=dict(opt["v"]))
+
+        def step_group(name, lr):
+            p, st = adam.update(
+                diff[name], grads[name],
+                {"m": opt["m"][name], "v": opt["v"][name]}, t, lr)
+            new_diff[name] = p
+            new_opt["m"][name] = st["m"]
+            new_opt["v"][name] = st["v"]
+
+        step_group("col", lrs[0])
+        if not ms.fix_geo_decoder:
+            step_group("geo", lrs[0])
+        step_group("geo_feats", lrs[1])
+        step_group("col_feats", lrs[2])
+        step_group("exposure", lr_exposure)
+
+        geo_l, col_l, n_mask = aux
+        stats = jnp.stack([geo_l, col_l, n_mask.astype(jnp.float32)])
+        return (it + 1, new_diff, new_opt, key, stats)
+
+    def cond(carry):
+        return carry[0] < jnp.minimum(n_iters, ms.max_iters)
+
+    init = (jnp.zeros((), jnp.int32), diff0, opt0, key, jnp.zeros(3))
+    _, diff, _, _, stats = jax.lax.while_loop(cond, body, init)
+
+    out_params = build_params(diff)
+    return (out_params, diff["geo_feats"], diff["col_feats"],
+            diff["exposure"], stats)
+
+
+# ------------------------------------------------------------------ densify
+
+@functools.partial(jax.jit, static_argnames=("ms",))
+def sample_add_rays(ms: MapperStatic, key, c2w, gt_color, gt_depth, r_add,
+                    n_rays):
+    """Uniform candidate rays for densification (src/Mapper.py:306-313):
+    add_max static candidates, first n_rays (traced) marked valid."""
+    i, j = sampling.sample_pixels_uniform(key, 0, ms.h, 0, ms.w, ms.add_max)
+    valid = jnp.arange(ms.add_max) < n_rays
+    rays_o, rays_d = camera.rays_from_uv(i, j, c2w, ms.fx, ms.fy, ms.cx, ms.cy)
+    dep = sampling.gather_pixels(gt_depth, i, j)
+    col = sampling.gather_pixels(gt_color, i, j)
+    ra = sampling.gather_pixels(r_add, i, j)
+    return rays_o, rays_d, dep, col, ra, valid
+
+
+@functools.partial(jax.jit, static_argnames=("ms",))
+def sample_grad_rays(ms: MapperStatic, key, c2w, gt_color, gt_depth, r_add,
+                     cand_idx, cand_ok):
+    """Color-gradient candidate rays (src/Mapper.py:322-331 via
+    src/common.py:92-114): grad_max distinct picks from the top-grad pool."""
+    pos, ok = sampling.choose_without_replacement(key, cand_ok, ms.grad_max)
+    flat = cand_idx[pos]
+    i, j = sampling.flat_to_ij(flat, ms.w)
+    rays_o, rays_d = camera.rays_from_uv(i, j, c2w, ms.fx, ms.fy, ms.cx, ms.cy)
+    dep = sampling.gather_pixels(gt_depth, i, j)
+    col = sampling.gather_pixels(gt_color, i, j)
+    ra = sampling.gather_pixels(r_add, i, j)
+    return rays_o, rays_d, dep, col, ra, ok
+
+
+# ----------------------------------------------------------------- host class
+
+class Mapper:
+    """Host orchestration of per-frame mapping. Owns the cloud, the keyframe
+    ring, and the decoder parameters."""
+
+    def __init__(self, cfg, params, n_img: int, rng: np.random.Generator):
+        self.cfg = cfg
+        self.params = params
+        self.n_img = n_img
+        self.rng = rng
+
+        cam = cfg["cam"]
+        h, w = cam["H"], cam["W"]
+        self.update_cam_applied = False
+        mp = cfg["mapping"]
+        pcfg = cfg["pointcloud"]
+        window = mp["mapping_window_size"] * (2 if n_img > 4000 else 1)
+        self.window = window
+        f_max = 2 * window + 2  # color refinement doubles the window
+
+        self.ms = MapperStatic(
+            h=h, w=w, fx=cam["fx"], fy=cam["fy"], cx=cam["cx"], cy=cam["cy"],
+            r_max=mp["pixels"], f_max=f_max,
+            w_color_loss=mp["w_color_loss"], frustum_edge=mp["frustum_edge"],
+            fix_geo_decoder=mp["fix_geo_decoder"],
+            encode_exposure=cfg["model"]["encode_exposure"],
+            n_add=pcfg["N_add"],
+            near_end_surface_pc=pcfg["near_end_surface"],
+            far_end_surface_pc=pcfg["far_end_surface"],
+            add_max=mp["pixels_adding"] * 3,
+            grad_max=max(mp["pixels_based_on_color_grad"], 1),
+            grad_top=5 * max(mp["pixels_based_on_color_grad"], 1),
+            max_iters=4 * max(mp["iters"], mp["iters_first"]),
+        )
+        self.rc = R.make_render_config(cfg, cfg["rendering"]["sigmoid_coef_mapper"])
+
+        cap = cfg["tpu"]["point_capacity_init"]
+        self.cloud = pc.init_cloud(cap, cfg["model"]["c_dim"], pcfg["N_add"])
+        self.n_points_host = 0
+        self.cell_size = (pcfg["radius_query_ratio"] * pcfg["radius_add_max"]
+                          if cfg["use_dynamic_radius"] else
+                          max(pcfg["radius_query"], pcfg["radius_add"]))
+        self.table_size = cfg["tpu"]["grid_table_size"]
+        self.index = pc.build_index(self.cloud, self.cell_size, self.table_size)
+
+        kf_budget = min(cfg["tpu"]["keyframe_device_budget"],
+                        n_img // max(mp["keyframe_every"], 1) + 4)
+        self.ring = init_ring(max(kf_budget, 4), h, w,
+                              cfg["model"]["exposure_dim"])
+        self.keyframe_list = []          # frame indices
+        self.selected_keyframes = {}
+        self.exposure_feat = 0.01 * rng.standard_normal(
+            cfg["model"]["exposure_dim"]).astype(np.float32)
+        self.exposure_feat_all = []
+
+        self.dyn = cfg["use_dynamic_radius"]
+        self.pseed = cfg["setup_seed"]
+        self.key = jax.random.key(cfg["setup_seed"])
+        self.frame_stats = {}
+
+    # -- helpers ----------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def _ensure_capacity(self, worst_new: int):
+        cap = self.cloud.pos.shape[0]
+        cap_max = self.cfg["tpu"]["point_capacity_max"]
+        while self.n_points_host + worst_new > cap and cap < cap_max:
+            cap *= 2
+            self.cloud = pc.grow_cloud(self.cloud, cap, self.ms.n_add)
+        if self.n_points_host + worst_new > cap:
+            raise RuntimeError("neural point cloud capacity exceeded")
+
+    def radius_maps(self, color_dev):
+        pcfg = self.cfg["pointcloud"]
+        if not self.dyn:
+            shape = (self.ms.h, self.ms.w)
+            return (jnp.full(shape, pcfg["radius_add"], jnp.float32),
+                    jnp.full(shape, pcfg["radius_query"], jnp.float32),
+                    None, None)
+        r_add, r_query, cand_idx, cand_ok = prepare_frame(
+            color_dev, pcfg["radius_add_max"], pcfg["radius_add_min"],
+            pcfg["radius_query_ratio"], pcfg["color_grad_threshold"],
+            self.ms.grad_top)
+        return r_add, r_query, cand_idx, cand_ok
+
+    def select_keyframes(self, cur_c2w, gt_color, gt_depth):
+        """Window of keyframe ring slots for this frame (reference semantics:
+        overlap-or-global choice of window-2, plus the latest keyframe; the
+        current frame rides separately as the last slot)."""
+        mp = self.cfg["mapping"]
+        num = self.window - 2
+        n_kf = len(self.keyframe_list)
+        if n_kf == 0:
+            return []
+        if self.refine_mode:
+            num = 2 * self.window - 2
+            sel = list(self.rng.permutation(max(n_kf - 1, 0))[:num])
+        elif mp["keyframe_selection_method"] == "global":
+            sel = list(self.rng.permutation(max(n_kf - 1, 0))[:num])
+        else:
+            scores = np.asarray(overlap_scores(
+                self.ms, self.ring.est_c2w, jnp.asarray(n_kf - 1), cur_c2w,
+                gt_color, gt_depth, self._next_key()))
+            qualifying = [k for k in range(n_kf - 1) if scores[k] > 0.0]
+            sel = list(self.rng.permutation(qualifying)[:num])
+        sel = [int(s) for s in sel] + [n_kf - 1]
+        return sel
+
+    # -- the per-frame entry ---------------------------------------------
+
+    def map_frame(self, idx: int, gt_color: np.ndarray, gt_depth: np.ndarray,
+                  gt_c2w: np.ndarray, cur_c2w: np.ndarray,
+                  color_refine: bool = False) -> Dict[str, float]:
+        cfg = self.cfg
+        mp = cfg["mapping"]
+        init = idx == 0
+        self.refine_mode = color_refine
+
+        color_dev = jnp.asarray(gt_color)
+        depth_dev = jnp.asarray(gt_depth)
+        cur_c2w_dev = jnp.asarray(cur_c2w)
+        r_add, r_query, cand_idx, cand_ok = self.radius_maps(color_dev)
+        if cand_ok is not None:
+            # candidate pool additionally requires valid depth (common.py:147-153)
+            dvals = depth_dev.reshape(-1)[cand_idx]
+            cand_ok = cand_ok & (dvals > 0)
+
+        # ---- densification
+        n_acc_total = 0
+        if not color_refine:
+            if init:
+                med = float(np.median(gt_depth[gt_depth > 0])) if \
+                    (gt_depth > 0).any() else 2.5
+                add_n = int(np.clip(mp["pixels_adding"] * (med / 2.5) ** 2,
+                                    mp["pixels_adding"], mp["pixels_adding"] * 3))
+            else:
+                add_n = mp["pixels_adding"]
+            self._ensure_capacity(
+                (self.ms.add_max + self.ms.grad_max) * self.ms.n_add)
+
+            o, d, dep, col, ra, valid = sample_add_rays(
+                self.ms, self._next_key(), cur_c2w_dev, color_dev, depth_dev,
+                r_add, jnp.asarray(add_n))
+            self.cloud, n1 = pc.add_points(
+                self.cloud, self.index, o, d, dep, col, valid, ra,
+                self._next_key(), self.ms.near_end_surface_pc,
+                self.ms.far_end_surface_pc, n_add=self.ms.n_add,
+                fix_interval=cfg["pointcloud"]["fix_interval_when_add_along_ray"],
+                max_per_cell=self.rc.max_per_cell)
+            self.index = pc.build_index(self.cloud, self.cell_size,
+                                        self.table_size)
+            n_acc_total += int(n1)
+
+            if mp["pixels_based_on_color_grad"] > 0 and cand_idx is not None:
+                o, d, dep, col, ra, valid = sample_grad_rays(
+                    self.ms, self._next_key(), cur_c2w_dev, color_dev,
+                    depth_dev, r_add, cand_idx, cand_ok)
+                self.cloud, n2 = pc.add_points(
+                    self.cloud, self.index, o, d, dep, col, valid, ra,
+                    self._next_key(), self.ms.near_end_surface_pc,
+                    self.ms.far_end_surface_pc, n_add=self.ms.n_add,
+                    fix_interval=cfg["pointcloud"][
+                        "fix_interval_when_add_along_ray"],
+                    max_per_cell=self.rc.max_per_cell)
+                self.index = pc.build_index(self.cloud, self.cell_size,
+                                            self.table_size)
+                n_acc_total += int(n2)
+            self.n_points_host = int(self.cloud.n_points)
+
+        # ---- frustum feature selection (gradient mask)
+        if mp["frustum_feature_selection"] and not color_refine:
+            frustum = pc.frustum_mask(
+                self.cloud.pos, self.cloud.n_points,
+                jnp.linalg.inv(cur_c2w_dev), depth_dev,
+                self.ms.fx, self.ms.fy, self.ms.cx, self.ms.cy,
+                self.ms.frustum_edge)
+        else:
+            frustum = jnp.arange(self.cloud.pos.shape[0]) < self.cloud.n_points
+
+        # ---- iteration budget (src/Mapper.py:404-406,713-726)
+        if init:
+            n_iters = mp["iters_first"]
+            geo_bound = mp["geo_iter_first"]
+        else:
+            n_iters = mp["iters"]
+            if color_refine:
+                n_iters *= 2
+                geo_bound = 0  # geo_iter_ratio 0.0: only iteration 0 is geometry
+            else:
+                n_iters = int(np.clip(int(n_iters * n_acc_total / 300),
+                                      int(mp["min_iter_ratio"] * n_iters),
+                                      2 * n_iters))
+                geo_bound = int(n_iters * mp["geo_iter_ratio"])
+
+        # ---- LR schedule (traced triples)
+        cur_stage = "init" if init else "stage"
+        sched = mp[cur_stage]
+        lr_geo = jnp.asarray([sched["geometry"]["decoders_lr"],
+                              sched["geometry"]["geometry_lr"],
+                              sched["geometry"]["color_lr"]], jnp.float32)
+        if color_refine:
+            lr_col = jnp.asarray([sched["color"]["decoders_lr"], 0.0,
+                                  sched["color"]["color_lr"] / 10.0], jnp.float32)
+            fix_color = jnp.asarray(0.0)   # fix_color_decoder=True in refine
+        else:
+            lr_col = jnp.asarray([sched["color"]["decoders_lr"],
+                                  sched["color"]["geometry_lr"],
+                                  sched["color"]["color_lr"]], jnp.float32)
+            fix_color = jnp.asarray(0.0 if mp["fix_color_decoder"] else 1.0)
+
+        # ---- optimize; color refinement reruns the window 5x
+        # (src/Mapper.py:713-736 outer_joint_iters)
+        outer_iters = 5 if color_refine else 1
+        stats = np.zeros(3)
+        for outer in range(outer_iters):
+            sel = self.select_keyframes(cur_c2w_dev, color_dev, depth_dev)
+            n_frames = len(sel) + 1
+            if mp["save_selected_keyframes_info"] and outer == 0:
+                self.selected_keyframes[idx] = [
+                    {"idx": self.keyframe_list[s]} for s in sel] + [{"idx": idx}]
+
+            f = self.ms.f_max
+            slots = jnp.asarray((sel + [0] * (f - len(sel)))[:f], jnp.int32)
+            w_color = self.ring.color[slots].at[len(sel)].set(color_dev)
+            w_depth = self.ring.depth[slots].at[len(sel)].set(depth_dev)
+            w_rq = self.ring.r_query[slots].at[len(sel)].set(r_query)
+            w_c2w = self.ring.est_c2w[slots].at[len(sel)].set(cur_c2w_dev)
+            w_exp = self.ring.exposure[slots].at[len(sel)].set(
+                jnp.asarray(self.exposure_feat))
+            pixs_per_image = self.ms.r_max // n_frames
+
+            (self.params, geo_feats, col_feats, w_exp_out, stats_dev) = \
+                map_optimize(
+                    self.ms, self.rc, self.params, self.cloud.geo_feats,
+                    self.cloud.col_feats, self.cloud.pos, self.cloud.n_points,
+                    self.index, w_color, w_depth, w_rq, w_c2w, w_exp,
+                    jnp.asarray(n_frames), jnp.asarray(pixs_per_image),
+                    jnp.asarray(len(sel)), frustum, lr_geo, lr_col,
+                    jnp.asarray(0.001), fix_color, jnp.asarray(geo_bound),
+                    jnp.asarray(n_iters), self._next_key())
+
+            self.cloud = self.cloud._replace(geo_feats=geo_feats,
+                                             col_feats=col_feats)
+            if self.ms.encode_exposure:
+                self.exposure_feat = np.asarray(w_exp_out[len(sel)])
+            stats = np.asarray(stats_dev)
+        if self.ms.encode_exposure:
+            self.exposure_feat_all.append(self.exposure_feat.copy())
+
+        # ---- keyframe bookkeeping (src/Mapper.py:741-751)
+        if ((idx % mp["keyframe_every"] == 0 or idx == self.n_img - 2)
+                and idx not in self.keyframe_list
+                and np.isfinite(gt_c2w).all()):
+            slot = len(self.keyframe_list)
+            if slot < self.ring.color.shape[0]:
+                self.ring = ring_set(
+                    self.ring, jnp.asarray(slot), color_dev, depth_dev,
+                    r_query, cur_c2w_dev, jnp.asarray(gt_c2w),
+                    jnp.asarray(self.exposure_feat))
+                self.keyframe_list.append(idx)
+
+        out = {"geo_loss": float(stats[0]), "color_loss": float(stats[1]),
+               "n_mask": float(stats[2]), "n_added": n_acc_total,
+               "n_iters": n_iters, "n_points": self.n_points_host}
+        self.frame_stats[idx] = out
+        return out

@@ -1,0 +1,105 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from point_slam_tpu.config import load_config
+from point_slam_tpu.datasets import get_dataset
+from point_slam_tpu.mapper import Mapper
+from point_slam_tpu.models import decoders as D
+from point_slam_tpu import pointcloud as pc
+from point_slam_tpu import renderer as R
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_cfg():
+    cfg = load_config(os.path.join(HERE, "configs", "Synthetic", "room.yaml"),
+                      os.path.join(HERE, "configs", "point_slam.yaml"))
+    cfg["synthetic"]["n_frames"] = 16
+    cfg["cam"].update({"H": 48, "W": 64, "fx": 40.0, "fy": 40.0,
+                       "cx": 31.5, "cy": 23.5})
+    cfg["mapping"].update({
+        "pixels": 400, "pixels_adding": 200, "pixels_based_on_color_grad": 50,
+        "iters": 25, "iters_first": 40, "geo_iter_first": 15,
+        "mapping_window_size": 4, "keyframe_every": 4, "every_frame": 2,
+    })
+    cfg["tpu"].update({"point_capacity_init": 1 << 13,
+                       "point_capacity_max": 1 << 16,
+                       "grid_table_size": 1 << 14,
+                       "grid_max_per_cell": 64})
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def mapped():
+    cfg = tiny_cfg()
+    ds = get_dataset(cfg)
+    rng = np.random.default_rng(cfg["setup_seed"])
+    params = D.init_decoders(jax.random.key(cfg["setup_seed"]), cfg)
+    mapper = Mapper(cfg, params, len(ds), rng)
+    stats = []
+    for idx in [0, 2, 4, 6]:
+        _, color, depth, c2w = ds[idx]
+        st = mapper.map_frame(idx, color, depth, c2w, c2w)
+        stats.append(st)
+    return cfg, ds, mapper, stats
+
+
+def test_points_grow_and_dedup(mapped):
+    cfg, ds, mapper, stats = mapped
+    assert stats[0]["n_points"] > 100
+    # later frames with overlapping views add fewer points than the first
+    assert stats[1]["n_added"] < stats[0]["n_added"]
+    assert mapper.n_points_host == int(mapper.cloud.n_points)
+    assert mapper.n_points_host < mapper.cloud.pos.shape[0]
+
+
+def test_losses_are_finite_and_decrease(mapped):
+    cfg, ds, mapper, stats = mapped
+    for st in stats:
+        assert np.isfinite(st["geo_loss"]) and np.isfinite(st["color_loss"])
+        assert st["n_mask"] > 0
+    # per-ray geometry loss on the last mapped frame should beat the first
+    per_ray_first = stats[0]["geo_loss"] / max(stats[0]["n_mask"], 1)
+    per_ray_last = stats[-1]["geo_loss"] / max(stats[-1]["n_mask"], 1)
+    assert per_ray_last < per_ray_first * 1.5  # not diverging
+
+
+def test_keyframes_registered(mapped):
+    cfg, ds, mapper, stats = mapped
+    assert mapper.keyframe_list == [0, 4]
+    assert 6 in mapper.selected_keyframes
+    sel = mapper.selected_keyframes[6]
+    assert sel[-1]["idx"] == 6
+
+
+def test_iteration_budget_scaling(mapped):
+    cfg, ds, mapper, stats = mapped
+    it = cfg["mapping"]["iters"]
+    assert stats[0]["n_iters"] == cfg["mapping"]["iters_first"]
+    for st in stats[1:]:
+        assert int(0.95 * it) <= st["n_iters"] <= 2 * it
+
+
+def test_mapped_scene_renders_depth(mapped):
+    """After a few mapped frames the radiance field should reproduce sensor
+    depth to a few cm on the mapped view (the e2e acceptance of the slice)."""
+    cfg, ds, mapper, stats = mapped
+    _, color, depth, c2w = ds[0]
+    r_add, r_query, _, _ = mapper.radius_maps(jnp.asarray(color))
+    rc = mapper.rc._replace(ray_batch=512)
+    dep, unc, col = R.render_img(
+        mapper.params, mapper.cloud, mapper.index, jnp.asarray(c2w),
+        (cfg["cam"]["fx"], cfg["cam"]["fy"], cfg["cam"]["cx"], cfg["cam"]["cy"]),
+        depth.shape, rc, jax.random.key(0), jnp.asarray(depth), r_query)
+    dep = np.asarray(dep)
+    col = np.asarray(col)
+    valid = (depth > 0) & (dep > 0)
+    assert valid.mean() > 0.5
+    depth_l1 = np.abs(dep[valid] - depth[valid]).mean()
+    assert depth_l1 < 0.08, f"depth L1 {depth_l1:.3f} m too high"
+    color_l1 = np.abs(col[valid] - color[valid]).mean()
+    assert color_l1 < 0.25, f"color L1 {color_l1:.3f} too high"
