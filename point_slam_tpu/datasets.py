@@ -195,11 +195,15 @@ class Synthetic(BaseDataset):
         self.box = np.array(syn.get("half_extent", [3.0, 2.2, 2.6]))
         self.noise = syn.get("depth_noise", 0.0)
         self.seed = syn.get("seed", 7)
+        # per-frame angular step; default sweeps 0.6 turns over >=60 frames so
+        # inter-frame motion stays SLAM-trackable (a few cm, Replica-like)
+        self.ang_step = syn.get("angular_step",
+                                2 * np.pi * 0.6 / max(self.n_img, 60))
         self.poses = [self._pose(t) for t in range(self.n_img)]
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
     def _pose(self, t):
-        ang = 2 * np.pi * t / max(self.n_img, 1) * 0.6
+        ang = self.ang_step * t
         radius = 0.8
         eye = np.array([radius * np.cos(ang), 0.25 * np.sin(2 * ang),
                         radius * np.sin(ang)])

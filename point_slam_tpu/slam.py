@@ -1,0 +1,140 @@
+"""PointSLAM orchestrator: the lock-step tracking/mapping schedule.
+
+Single-process re-design of the reference's two-process + manager
+architecture (src/Point_SLAM.py). The pipe protocol (SURVEY §3.1) makes the
+reference effectively lock-step — mapper maps frame 0, tracker tracks 1..k,
+each frame with idx % every_frame == 0 (or the last) is mapped before
+tracking proceeds — so a sequential alternation of the two compiled step
+functions reproduces its semantics exactly, with the shared decoders/features
+passing as plain device arrays instead of CUDA shared memory + RPC.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from point_slam_tpu.datasets import get_dataset
+from point_slam_tpu.mapper import Mapper
+from point_slam_tpu.models import decoders as D
+from point_slam_tpu.tracker import Tracker
+
+
+def update_cam(cfg) -> None:
+    """Apply crop_size / crop_edge to the intrinsics in place
+    (src/Point_SLAM.py:121-141)."""
+    cam = cfg["cam"]
+    if "crop_size" in cam and cam["crop_size"] is not None:
+        ch, cw = cam["crop_size"]
+        sx, sy = cw / cam["W"], ch / cam["H"]
+        cam["fx"] *= sx
+        cam["fy"] *= sy
+        cam["cx"] *= sx
+        cam["cy"] *= sy
+        cam["W"], cam["H"] = cw, ch
+    e = cam.get("crop_edge") or 0
+    if e > 0:
+        cam["H"] -= 2 * e
+        cam["W"] -= 2 * e
+        cam["cx"] -= e
+        cam["cy"] -= e
+
+
+class PointSLAM:
+    def __init__(self, cfg, input_folder: Optional[str] = None,
+                 output: Optional[str] = None):
+        self.cfg = cfg
+        update_cam(cfg)
+        if output:
+            cfg["data"]["output"] = output
+        self.output = cfg["data"]["output"]
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+
+        self.dataset = get_dataset(cfg, input_folder)
+        self.n_img = len(self.dataset)
+        self.verbose = cfg.get("verbose", True)
+
+        rng = np.random.default_rng(cfg["setup_seed"])
+        params = D.init_decoders(jax.random.key(cfg["setup_seed"]), cfg)
+        params = D.load_pretrained_geo(
+            params, cfg.get("pretrained_decoders", {}).get("middle_fine", ""))
+
+        self.mapper = Mapper(cfg, params, self.n_img, rng)
+        self.tracker = Tracker(cfg, self.n_img)
+
+        self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.timing: Dict[str, float] = {"track": 0.0, "map": 0.0, "io": 0.0}
+
+    def _frame(self, idx):
+        t0 = time.perf_counter()
+        _, color, depth, c2w = self.dataset[idx]
+        self.timing["io"] += time.perf_counter() - t0
+        return color, depth, c2w
+
+    def run(self, stop: Optional[int] = None,
+            progress: bool = True) -> Dict[str, Any]:
+        cfg = self.cfg
+        n = self.n_img if stop is None else min(stop + 1, self.n_img)
+        every = cfg["mapping"]["every_frame"]
+        lazy = cfg["mapping"]["lazy_start"] or 0
+        color_refine = cfg["mapping"]["color_refine"]
+
+        # frame 0: mapped unconditionally with the GT pose (Mapper.py:660-677)
+        color, depth, gt_c2w = self._frame(0)
+        self.estimate_c2w_list[0] = gt_c2w
+        self.gt_c2w_list[0] = gt_c2w
+        t0 = time.perf_counter()
+        st = self.mapper.map_frame(0, color, depth, gt_c2w, gt_c2w)
+        self.timing["map"] += time.perf_counter() - t0
+        if self.verbose:
+            print(f"[map] frame 0: +{st['n_added']} locations, "
+                  f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}")
+
+        for idx in range(1, n):
+            color, depth, gt_c2w = self._frame(idx)
+            self.gt_c2w_list[idx] = gt_c2w
+            ef = 1 if (lazy and idx <= lazy) else every
+
+            # dynamic radius maps shared by tracker & mapper this frame
+            r_add, r_query, _, _ = self.mapper.radius_maps(jnp.asarray(color))
+
+            t0 = time.perf_counter()
+            res = self.tracker.track_frame(
+                idx, color, depth, gt_c2w, self.estimate_c2w_list,
+                self.mapper, r_query,
+                exposure_feat=self.mapper.exposure_feat)
+            self.timing["track"] += time.perf_counter() - t0
+            self.estimate_c2w_list[idx] = res["c2w"]
+            if self.verbose and res.get("tracked"):
+                print(f"[track] frame {idx}: loss "
+                      f"{res['first_loss']:.2f}->{res['best_loss']:.2f}")
+
+            if idx % ef == 0 or idx == n - 1:
+                refine = color_refine and idx == n - 1 and idx == self.n_img - 1
+                t0 = time.perf_counter()
+                st = self.mapper.map_frame(idx, color, depth, gt_c2w,
+                                           self.estimate_c2w_list[idx],
+                                           color_refine=refine)
+                self.timing["map"] += time.perf_counter() - t0
+                if self.verbose:
+                    print(f"[map] frame {idx}: +{st['n_added']} locations, "
+                          f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}, "
+                          f"col {st['color_loss']:.3f}, "
+                          f"pts {st['n_points']}")
+
+        return {
+            "n_frames": n,
+            "n_points": self.mapper.n_points_host,
+            "keyframes": list(self.mapper.keyframe_list),
+            "timing": dict(self.timing),
+            "estimate_c2w_list": self.estimate_c2w_list[:n],
+            "gt_c2w_list": self.gt_c2w_list[:n],
+        }

@@ -1,0 +1,125 @@
+"""End-of-run evaluation pipeline (in-process).
+
+Mirrors the reference's post-SLAM driver (src/Mapper.py:793-931): trajectory
+ATE (aligned + unaligned), re-rendering of every mapped frame with
+PSNR / MS-SSIM / (optional) LPIPS and rendered-depth L1, saved renders for
+TSDF meshing, then mesh extraction + reconstruction eval. No subprocess /
+printed-dict IPC — everything is a function call returning dicts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from point_slam_tpu import renderer as R
+from point_slam_tpu.tools.eval_ate import evaluate_ate
+from point_slam_tpu.utils import metrics
+
+
+def rerender_frames(slam, out_dir: str, save_renders: bool = True,
+                    eval_img: Optional[bool] = None) -> Dict[str, Any]:
+    """Re-render every mapped frame from the final map (src/Mapper.py:816-899).
+
+    Returns averaged metrics; saves depth/color npy pairs for TSDF fusion.
+    """
+    cfg = slam.cfg
+    mapper = slam.mapper
+    every = cfg["mapping"]["every_frame"]
+    if eval_img is None:
+        eval_img = cfg["rendering"]["eval_img"]
+    rend_dir = os.path.join(out_dir, "rendered_every_frame")
+    img_dir = os.path.join(out_dir, "rendered_image")
+    os.makedirs(rend_dir, exist_ok=True)
+    os.makedirs(img_dir, exist_ok=True)
+
+    cam = cfg["cam"]
+    intr = (cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+    hw = (cam["H"], cam["W"])
+    rc = mapper.rc
+
+    psnr_sum = ssim_sum = lpips_sum = depth_l1 = 0.0
+    lpips_n = 0
+    frame_cnt = 0
+    n = len(slam.estimate_c2w_list)
+    key = jax.random.key(0)
+    for idx in range(0, n, every):
+        _, gt_color, gt_depth, _ = slam.dataset[idx]
+        c2w = jnp.asarray(slam.estimate_c2w_list[idx])
+        _, r_query, _, _ = mapper.radius_maps(jnp.asarray(gt_color))
+        dep, unc, col = R.render_img(
+            mapper.params, mapper.cloud, mapper.index, c2w, intr, hw, rc,
+            jax.random.fold_in(key, idx), jnp.asarray(gt_depth), r_query,
+            exposure_feat=(jnp.asarray(mapper.exposure_feat_all[idx // every])
+                           if mapper.exposure_feat_all else None))
+        dep = np.asarray(dep)
+        col = np.asarray(col)
+        if save_renders:
+            np.save(os.path.join(rend_dir, f"depth_{idx:05d}"), dep)
+            np.save(os.path.join(rend_dir, f"color_{idx:05d}"), col)
+        mask = gt_depth > 0
+        if mask.any():
+            depth_l1 += float(np.abs(gt_depth[mask] - dep[mask]).mean())
+        if eval_img:
+            psnr_sum += metrics.psnr(jnp.asarray(col), jnp.asarray(gt_color),
+                                     jnp.asarray(mask))
+            ssim_sum += metrics.ms_ssim(jnp.asarray(col), jnp.asarray(gt_color))
+            lp = metrics.lpips(col, gt_color)
+            if lp is not None:
+                lpips_sum += lp
+                lpips_n += 1
+        frame_cnt += 1
+
+    out: Dict[str, Any] = {"frame_cnt": frame_cnt,
+                           "depth_l1_render": depth_l1 / max(frame_cnt, 1)}
+    if eval_img:
+        out["avg_psnr"] = psnr_sum / max(frame_cnt, 1)
+        out["avg_ms_ssim"] = ssim_sum / max(frame_cnt, 1)
+        out["avg_lpips"] = (lpips_sum / lpips_n) if lpips_n else None
+    return out
+
+
+def run_end_of_run_eval(slam, out_dir: str) -> Dict[str, Any]:
+    cfg = slam.cfg
+    results: Dict[str, Any] = {}
+
+    try:
+        ate = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list, align=True)
+        ate_no = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list,
+                              align=False)
+        results["ate_rmse"] = ate["absolute_translational_error.rmse"]
+        results["ate_rmse_no_align"] = ate_no[
+            "absolute_translational_error.rmse"]
+        print("ate_rmse:", ate)
+        print("ate_rmse_wo_align:", ate_no)
+    except Exception as e:  # pragma: no cover
+        print("ATE evaluation failed:", e)
+
+    if cfg["dataset"] in cfg.get("render_datasets", []):
+        try:
+            rr = rerender_frames(slam, out_dir)
+            results.update(rr)
+            print({k: v for k, v in rr.items()})
+        except Exception as e:  # pragma: no cover
+            import traceback
+            traceback.print_exc()
+            print("Re-rendering failed:", e)
+
+    if cfg["dataset"] in cfg.get("reconstruction_datasets", []):
+        try:
+            from point_slam_tpu.tools.mesher import mesh_from_renders
+            mesh_path = os.path.join(out_dir, "mesh", "final_mesh.ply")
+            mesh_from_renders(slam, out_dir, mesh_path)
+            results["mesh"] = mesh_path
+            if cfg["meshing"]["eval_rec"]:
+                pass  # F-score vs GT mesh requires the GT asset; see eval_recon
+        except Exception as e:  # pragma: no cover
+            import traceback
+            traceback.print_exc()
+            print("Meshing failed:", e)
+
+    return results

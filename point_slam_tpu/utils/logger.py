@@ -1,0 +1,93 @@
+"""Checkpointing: one structured npz per checkpoint.
+
+Replaces the reference's torch tar checkpoints (src/utils/Logger.py:20-40)
+with a single compressed npz holding the trimmed point buffers, the decoder
+parameter pytree (flattened with path-joined keys), both pose lists, and the
+keyframe bookkeeping. Unlike the reference (which has no resume path,
+SURVEY §5), load_checkpoint + restore_slam give true mid-run resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        key = "/".join(str(p.key) if hasattr(p, "key") else str(p.idx)
+                       for p in path)
+        out[f"param/{key}"] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_params(template, data: Dict[str, np.ndarray]):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in flat:
+        key = "/".join(str(p.key) if hasattr(p, "key") else str(p.idx)
+                       for p in path)
+        arr = data.get(f"param/{key}")
+        leaves.append(jnp.asarray(arr) if arr is not None else leaf)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(path: str, slam) -> None:
+    m = slam.mapper
+    n = int(m.cloud.n_points)
+    ni = int(m.cloud.n_inputs)
+    payload = {
+        "cloud_pos": np.asarray(m.cloud.pos[:n]),
+        "geo_feats": np.asarray(m.cloud.geo_feats[:n]),
+        "col_feats": np.asarray(m.cloud.col_feats[:n]),
+        "input_pos": np.asarray(m.cloud.input_pos[:ni]),
+        "input_rgb": np.asarray(m.cloud.input_rgb[:ni]),
+        "pts_num": np.asarray(n),
+        "estimate_c2w_list": slam.estimate_c2w_list,
+        "gt_c2w_list": slam.gt_c2w_list,
+        "keyframe_list": np.asarray(m.keyframe_list, np.int64),
+        "exposure_feat_all": (np.stack(m.exposure_feat_all)
+                              if m.exposure_feat_all else np.zeros((0,))),
+        "idx": np.asarray(len(slam.estimate_c2w_list) - 1),
+    }
+    payload.update(_flatten_params(slam.mapper.params))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, **payload)
+
+
+def load_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    return dict(np.load(path, allow_pickle=False))
+
+
+def restore_cloud_and_params(ckpt: Dict[str, np.ndarray], mapper) -> None:
+    """Repopulate a Mapper's cloud + decoders from a checkpoint (the
+    mesh-from-checkpoint path, get_mesh_tsdf_fusion.py:64-106 analog)."""
+    from point_slam_tpu import pointcloud as pc
+    n = int(ckpt["pts_num"])
+    cap = mapper.cloud.pos.shape[0]
+    while cap < n:
+        cap *= 2
+    if cap != mapper.cloud.pos.shape[0]:
+        mapper.cloud = pc.grow_cloud(mapper.cloud, cap, mapper.ms.n_add)
+    c = mapper.cloud
+    ni = len(ckpt["input_pos"])
+    mapper.cloud = c._replace(
+        pos=c.pos.at[:n].set(jnp.asarray(ckpt["cloud_pos"])),
+        geo_feats=c.geo_feats.at[:n].set(jnp.asarray(ckpt["geo_feats"])),
+        col_feats=c.col_feats.at[:n].set(jnp.asarray(ckpt["col_feats"])),
+        n_points=jnp.asarray(n, jnp.int32),
+        input_pos=c.input_pos.at[:ni].set(jnp.asarray(ckpt["input_pos"])),
+        input_rgb=c.input_rgb.at[:ni].set(jnp.asarray(ckpt["input_rgb"])),
+        n_inputs=jnp.asarray(ni, jnp.int32),
+    )
+    mapper.n_points_host = n
+    mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
+                                  mapper.table_size)
+    mapper.params = _unflatten_params(mapper.params, ckpt)
+    mapper.keyframe_list = [int(i) for i in ckpt["keyframe_list"]]

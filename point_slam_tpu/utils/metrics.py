@@ -1,0 +1,119 @@
+"""Image quality metrics: PSNR and MS-SSIM (pure JAX/numpy).
+
+MS-SSIM follows the standard Wang et al. construction used by pytorch_msssim
+(the reference's metric source, src/Mapper.py:864-865): 11x11 gaussian window
+sigma 1.5, K=(0.01, 0.03), 5 scales with weights
+[0.0448, 0.2856, 0.3001, 0.2363, 0.1333], 2x average-pool downsampling,
+product of contrast-structure terms with the luminance term at the coarsest
+scale. LPIPS needs pretrained AlexNet features; `lpips` returns None when the
+weights are unavailable in this environment (metric marked optional).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_MSSSIM_WEIGHTS = jnp.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
+
+
+def psnr(img: jnp.ndarray, ref: jnp.ndarray, mask=None) -> float:
+    """PSNR over (optionally masked) pixels, data range 1.0
+    (src/Mapper.py:861-863 computes MSE over gt_depth>0 pixels)."""
+    diff = (img - ref) ** 2
+    if mask is not None:
+        mse = jnp.sum(jnp.where(mask, diff.mean(-1) if diff.ndim == 3 else diff,
+                                0.0)) / jnp.maximum(jnp.sum(mask), 1)
+    else:
+        mse = jnp.mean(diff)
+    return float(-10.0 * jnp.log10(mse))
+
+
+def _gaussian_window(size=11, sigma=1.5):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+def _filter2d_sep(img, win):
+    """Separable valid-mode filtering over (N,C,H,W)."""
+    k = win.shape[0]
+    kh = win.reshape(1, 1, k, 1)
+    kw = win.reshape(1, 1, 1, k)
+    n, c, h, w = img.shape
+    x = img.reshape(n * c, 1, h, w)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x.reshape(n, c, x.shape[-2], x.shape[-1])
+
+
+def _ssim_terms(x, y, win, data_range=1.0, k1=0.01, k2=0.03):
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    mu_x = _filter2d_sep(x, win)
+    mu_y = _filter2d_sep(y, win)
+    mu_xx = _filter2d_sep(x * x, win)
+    mu_yy = _filter2d_sep(y * y, win)
+    mu_xy = _filter2d_sep(x * y, win)
+    sx = mu_xx - mu_x * mu_x
+    sy = mu_yy - mu_y * mu_y
+    sxy = mu_xy - mu_x * mu_y
+    cs = (2 * sxy + c2) / (sx + sy + c2)
+    ssim = ((2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)) * cs
+    return jnp.mean(ssim), jnp.mean(cs)
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / 4.0
+
+
+def ms_ssim(img: jnp.ndarray, ref: jnp.ndarray, data_range=1.0) -> float:
+    """img/ref: (H,W,C) in [0, data_range]. Returns scalar MS-SSIM."""
+    x = jnp.transpose(img, (2, 0, 1))[None].astype(jnp.float32)
+    y = jnp.transpose(ref, (2, 0, 1))[None].astype(jnp.float32)
+    win = _gaussian_window()
+    levels = _MSSSIM_WEIGHTS.shape[0]
+    mcs = []
+    ssim_val = 0.0
+    for i in range(levels):
+        ssim_val, cs = _ssim_terms(x, y, win, data_range)
+        if i < levels - 1:
+            mcs.append(jnp.maximum(cs, 0.0))
+            x = _avg_pool2(x)
+            y = _avg_pool2(y)
+    val = jnp.prod(jnp.stack(
+        [m ** w for m, w in zip(mcs, _MSSSIM_WEIGHTS[:-1])]))
+    val = val * jnp.maximum(ssim_val, 0.0) ** _MSSSIM_WEIGHTS[-1]
+    return float(val)
+
+
+_LPIPS_CACHE = {}
+
+
+def lpips(img: np.ndarray, ref: np.ndarray) -> Optional[float]:
+    """LPIPS (AlexNet) if pretrained weights are available; None otherwise.
+
+    The environment has no torchvision model zoo access (zero egress), so
+    this is best-effort: torchvision + cached weights -> value, else None.
+    """
+    try:
+        import torch
+        import torchvision  # noqa: F401
+        from torchmetrics.image.lpip import (
+            LearnedPerceptualImagePatchSimilarity)
+        if "m" not in _LPIPS_CACHE:
+            _LPIPS_CACHE["m"] = LearnedPerceptualImagePatchSimilarity(
+                net_type="alex", normalize=True)
+        m = _LPIPS_CACHE["m"]
+        a = torch.from_numpy(np.clip(img, 0, 1)).permute(2, 0, 1)[None].float()
+        b = torch.from_numpy(np.clip(ref, 0, 1)).permute(2, 0, 1)[None].float()
+        return float(m(a, b))
+    except Exception:
+        return None

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""CLI entry point: python run.py <config.yaml> [--input_folder ... --output ...
+--wandb/--no_wandb --stop N].
+
+Surface parity with the reference run.py (run.py:10-43). --stop N truncates
+the sequence to N+1 frames and shortens ckpt/keyframe cadence for short
+deterministic runs.
+"""
+
+import argparse
+import os
+import sys
+from datetime import datetime
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="point_slam_tpu runner")
+    parser.add_argument("config", type=str, help="path to scene config yaml")
+    parser.add_argument("--input_folder", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--stop", type=lambda s: None if s == "None" else int(s),
+                        default=None, help="stop after n frames")
+    parser.add_argument("--no_eval", action="store_true",
+                        help="skip the end-of-run evaluation pipeline")
+    args = parser.parse_args()
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+
+    from point_slam_tpu.config import load_config
+    from point_slam_tpu.slam import PointSLAM
+
+    cfg = load_config(args.config, os.path.join(HERE, "configs", "point_slam.yaml"))
+    if args.wandb:
+        cfg["wandb"] = True
+    if args.no_wandb:
+        cfg["wandb"] = False
+    if args.stop:
+        cfg["mapping"]["ckpt_freq"] = args.stop
+        cfg["mapping"]["keyframe_every"] = 10
+
+    out = cfg["data"]["output"]
+    if args.output:
+        out = args.output
+    if args.stop is None:
+        out = os.path.join(out, datetime.now().strftime("%Y%m%d_%H%M%S"))
+
+    slam = PointSLAM(cfg, input_folder=args.input_folder, output=out)
+    summary = slam.run(stop=args.stop)
+    print(f"finished {summary['n_frames']} frames, "
+          f"{summary['n_points']} neural points, timing {summary['timing']}")
+
+    from point_slam_tpu.utils.logger import save_checkpoint
+    ckpt_path = os.path.join(out, "ckpts",
+                             f"{summary['n_frames'] - 1:05d}.npz")
+    save_checkpoint(ckpt_path, slam)
+    print(f"checkpoint saved to {ckpt_path}")
+
+    if not args.no_eval:
+        from point_slam_tpu.tools.evaluate import run_end_of_run_eval
+        run_end_of_run_eval(slam, out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""End-to-end SLAM on the synthetic room: joint tracking + mapping."""
+import os
+
+import numpy as np
+import pytest
+
+from point_slam_tpu.config import load_config
+from point_slam_tpu.slam import PointSLAM
+from point_slam_tpu.tools.eval_ate import evaluate_ate
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def e2e_cfg(tmp_path, n=12):
+    cfg = load_config(os.path.join(HERE, "configs", "Synthetic", "room.yaml"),
+                      os.path.join(HERE, "configs", "point_slam.yaml"))
+    cfg["synthetic"]["n_frames"] = n
+    cfg["synthetic"]["angular_step"] = 0.02   # ~1.6 cm/frame, Replica-like
+    cfg["cam"].update({"H": 48, "W": 64, "fx": 40.0, "fy": 40.0,
+                       "cx": 31.5, "cy": 23.5})
+    cfg["tracking"].update({"pixels": 300, "iters": 20,
+                            "ignore_edge_W": 5, "ignore_edge_H": 5})
+    cfg["mapping"].update({
+        "pixels": 400, "pixels_adding": 200, "pixels_based_on_color_grad": 50,
+        "iters": 20, "iters_first": 30, "geo_iter_first": 10,
+        "mapping_window_size": 4, "keyframe_every": 4, "every_frame": 2,
+        "lazy_start": False, "color_refine": False,
+    })
+    cfg["tpu"].update({"point_capacity_init": 1 << 13,
+                       "point_capacity_max": 1 << 16,
+                       "grid_table_size": 1 << 14,
+                       "grid_max_per_cell": 64})
+    cfg["verbose"] = False
+    cfg["data"]["output"] = str(tmp_path / "out")
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def slam_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = e2e_cfg(tmp)
+    slam = PointSLAM(cfg)
+    summary = slam.run()
+    return slam, summary
+
+
+def test_runs_all_frames(slam_run):
+    slam, summary = slam_run
+    assert summary["n_frames"] == 12
+    assert summary["n_points"] > 200
+    assert summary["keyframes"] == [0, 4, 8, 10]
+
+
+def test_tracking_stays_on_trajectory(slam_run):
+    slam, summary = slam_run
+    ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
+                       align=False)
+    # tiny budgets, synthetic scene: a loose-but-meaningful bound; random
+    # poses would be off by ~0.5 m on this trajectory
+    assert ate["absolute_translational_error.rmse"] < 0.10, ate
+    # per-frame estimates must be finite rigid transforms
+    est = summary["estimate_c2w_list"]
+    assert np.isfinite(est).all()
+    for p in est:
+        rrt = p[:3, :3] @ p[:3, :3].T
+        np.testing.assert_allclose(rrt, np.eye(3), atol=1e-3)
+
+
+def test_checkpoint_roundtrip(slam_run, tmp_path):
+    from point_slam_tpu.utils.logger import (load_checkpoint,
+                                             restore_cloud_and_params,
+                                             save_checkpoint)
+    slam, summary = slam_run
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, slam)
+    ckpt = load_checkpoint(path)
+    assert int(ckpt["pts_num"]) == summary["n_points"]
+    before = np.asarray(slam.mapper.cloud.geo_feats[:10]).copy()
+    restore_cloud_and_params(ckpt, slam.mapper)
+    after = np.asarray(slam.mapper.cloud.geo_feats[:10])
+    np.testing.assert_array_equal(before, after)
+    assert slam.mapper.keyframe_list == summary["keyframes"]
