@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark: tracked+mapped frames/sec at Replica-room0 scale.
+
+The image ships no datasets (BASELINE.json configs reference Replica room0),
+so the workload is the procedural Synthetic room at Replica resolution
+(680x1200) with Replica hyperparameters (tracking 40 it x 1500 rays, mapping
+300 it x 5000 rays every 5th frame, 6000+1000 densification candidates,
+window 12) — the same per-frame compute mix as the reference's
+configs/Replica/replica.yaml.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no runtime numbers (SURVEY §6) and
+cannot run here (CUDA/FAISS). Baseline 0.20 frames/sec is an estimate of the
+reference's Replica throughput from its per-iteration workloads on an
+A100-class GPU (tracking ~33 ms/it, mapping ~60 ms/it -> ~5 s per tracked+
+mapped frame-slot); replace with a measured value when the reference can run.
+"""
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+BASELINE_FPS = 0.20
+
+N_FRAMES = 18
+WARMUP_FRAMES = 7   # includes first-frame mapping + first tracked/mapped pair
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+    log(f"devices: {jax.devices()}")
+
+    from point_slam_tpu.config import load_config
+    from point_slam_tpu.slam import PointSLAM
+
+    cfg = load_config(os.path.join(HERE, "configs", "Synthetic", "room.yaml"),
+                      os.path.join(HERE, "configs", "point_slam.yaml"))
+    cfg["synthetic"].update({"n_frames": N_FRAMES, "angular_step": 0.01})
+    cfg["cam"].update({"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0,
+                      "cx": 599.5, "cy": 339.5})
+    cfg["tracking"].update({"pixels": 1500, "iters": 40,
+                            "ignore_edge_W": 100, "ignore_edge_H": 100})
+    cfg["mapping"].update({
+        "pixels": 5000, "pixels_adding": 6000,
+        "pixels_based_on_color_grad": 1000, "iters": 300, "iters_first": 1500,
+        "geo_iter_first": 400, "mapping_window_size": 12, "keyframe_every": 5,
+        "every_frame": 5, "lazy_start": False, "color_refine": False,
+    })
+    cfg["rendering"]["sample_near_pcl"] = False
+    cfg["tpu"].update({"point_capacity_init": 1 << 19})
+    cfg["verbose"] = False
+    cfg["data"]["output"] = os.path.join(HERE, "output", "bench")
+
+    slam = PointSLAM(cfg)
+    ds = slam.dataset
+    log("pre-generating synthetic frames...")
+    for i in range(N_FRAMES):
+        ds[i]
+
+    # run the schedule manually so we can time a steady-state window
+    import numpy as np
+    import jax.numpy as jnp
+
+    every = cfg["mapping"]["every_frame"]
+    t_measure_start = None
+    color, depth, gt = slam._frame(0)
+    slam.estimate_c2w_list[0] = gt
+    slam.gt_c2w_list[0] = gt
+    log("mapping frame 0 (compile + init)...")
+    t0 = time.time()
+    slam.mapper.map_frame(0, color, depth, gt, gt)
+    log(f"  frame 0 mapped in {time.time() - t0:.1f}s "
+        f"({slam.mapper.n_points_host} pts)")
+
+    for idx in range(1, N_FRAMES):
+        if idx == WARMUP_FRAMES:
+            t_measure_start = time.time()
+        color, depth, gt = slam._frame(idx)
+        slam.gt_c2w_list[idx] = gt
+        r_add, r_query, _, _ = slam.mapper.radius_maps(jnp.asarray(color))
+        t0 = time.time()
+        res = slam.tracker.track_frame(idx, color, depth, gt,
+                                       slam.estimate_c2w_list, slam.mapper,
+                                       r_query)
+        slam.estimate_c2w_list[idx] = res["c2w"]
+        t_track = time.time() - t0
+        t_map = 0.0
+        if idx % every == 0 or idx == N_FRAMES - 1:
+            t0 = time.time()
+            st = slam.mapper.map_frame(idx, color, depth, gt,
+                                       slam.estimate_c2w_list[idx])
+            t_map = time.time() - t0
+        log(f"  frame {idx}: track {t_track:.2f}s map {t_map:.2f}s")
+
+    elapsed = time.time() - t_measure_start
+    n_measured = N_FRAMES - WARMUP_FRAMES
+    fps = n_measured / elapsed
+    log(f"measured {n_measured} frames in {elapsed:.1f}s -> {fps:.3f} fps")
+
+    from point_slam_tpu.tools.eval_ate import evaluate_ate
+    ate = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list, align=False)
+    log(f"trajectory ATE (no align): "
+        f"{ate['absolute_translational_error.rmse'] * 100:.2f} cm")
+
+    print(json.dumps({
+        "metric": "tracked+mapped frames/sec (Replica-room0-scale workload)",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,7 @@ class MapperStatic(NamedTuple):
     grad_max: int         # candidate rays for color-grad densification
     grad_top: int         # top-k pool for color-grad selection
     max_iters: int        # safety bound for the while_loop
+    dp: int = 1           # data-parallel devices (rays shard over 'dp')
 
 
 class KeyframeRing(NamedTuple):
@@ -170,8 +171,12 @@ def _sample_window_rays(ms: MapperStatic, key, window, n_frames,
     mx = image.masked_max(dep, ray_ok)
     inside = dep <= jnp.minimum(10.0 * med, 1.2 * mx)       # Mapper.py:507-509
     ray_ok &= inside
-    return dict(rays_o=rays_o, rays_d=rays_d, gt_depth=dep, gt_color=col,
+    rays = dict(rays_o=rays_o, rays_d=rays_d, gt_depth=dep, gt_color=col,
                 r_query=rq, slot=slot, ray_ok=ray_ok)
+    if ms.dp > 1:
+        from point_slam_tpu.parallel import mesh as pmesh
+        rays = pmesh.shard_rays(rays)
+    return rays
 
 
 def _losses(ms: MapperStatic, rc: R.RenderConfig, params, geo_feats, col_feats,
@@ -353,9 +358,11 @@ class Mapper:
         self.window = window
         f_max = 2 * window + 2  # color refinement doubles the window
 
+        dp = int(cfg["tpu"].get("data_parallel", 1) or 1)
+        r_max = -(-mp["pixels"] // dp) * dp  # pad rays to the dp axis
         self.ms = MapperStatic(
             h=h, w=w, fx=cam["fx"], fy=cam["fy"], cx=cam["cx"], cy=cam["cy"],
-            r_max=mp["pixels"], f_max=f_max,
+            r_max=r_max, f_max=f_max, dp=dp,
             w_color_loss=mp["w_color_loss"], frustum_edge=mp["frustum_edge"],
             fix_geo_decoder=mp["fix_geo_decoder"],
             encode_exposure=cfg["model"]["encode_exposure"],
