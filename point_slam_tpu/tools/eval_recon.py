@@ -1,0 +1,222 @@
+"""Reconstruction evaluation: 3D F-score and virtual-view 2D depth-L1.
+
+Own implementations replacing the external `evaluate_3d_reconstruction`
+library and Open3D (SURVEY §2.3 N2/N5; reference: src/tools/eval_recon.py):
+
+* 3D — ICP pre-alignment (point-to-point, correspondence threshold 0.1 m),
+  area-weighted surface sampling of both meshes, accuracy / completion and
+  precision / recall / F-score at tau = 1 cm.
+* 2D — depth L1 over virtual views sampled inside the scene volume
+  (PCA-based oriented bounds, the reference's extents scaling and +0.4 z
+  lift), rejecting views that would see "unseen" points
+  (<gt>_pc_unseen.npy, as shipped by the reference's cull_replica_mesh
+  assets), depth rendered with the native z-buffer rasterizer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import Dict, Optional
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from point_slam_tpu.tools.eval_ate import horn_align
+from point_slam_tpu.utils.ply import read_ply
+from point_slam_tpu.utils.raster import rasterize_depth
+
+
+# ------------------------------------------------------------------ sampling
+
+def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
+                   seed: int = 0) -> np.ndarray:
+    """Uniform area-weighted surface samples."""
+    rng = np.random.default_rng(seed)
+    tri = verts[faces]
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+    if areas.sum() <= 0:
+        return verts[rng.integers(0, len(verts), n)]
+    probs = areas / areas.sum()
+    pick = rng.choice(len(faces), size=n, p=probs)
+    r1 = np.sqrt(rng.random(n))
+    r2 = rng.random(n)
+    a, b, c = tri[pick, 0], tri[pick, 1], tri[pick, 2]
+    return ((1 - r1)[:, None] * a + (r1 * (1 - r2))[:, None] * b
+            + (r1 * r2)[:, None] * c)
+
+
+# ----------------------------------------------------------------------- ICP
+
+def icp_point_to_point(src: np.ndarray, dst: np.ndarray,
+                       threshold: float = 0.1, max_iters: int = 30,
+                       tol: float = 1e-6) -> np.ndarray:
+    """Rigid transform aligning src -> dst (o3d registration_icp analog)."""
+    tree = cKDTree(dst)
+    tf = np.eye(4)
+    cur = src.copy()
+    prev_rmse = np.inf
+    for _ in range(max_iters):
+        d, j = tree.query(cur, k=1)
+        ok = d < threshold
+        if ok.sum() < 10:
+            break
+        rot, trans, err = horn_align(cur[ok].T, dst[j[ok]].T)
+        step = np.eye(4)
+        step[:3, :3] = rot
+        step[:3, 3] = trans[:, 0]
+        tf = step @ tf
+        cur = cur @ rot.T + trans[:, 0]
+        rmse = float(np.sqrt(np.mean(err ** 2)))
+        if abs(prev_rmse - rmse) < tol:
+            break
+        prev_rmse = rmse
+    return tf
+
+
+# ----------------------------------------------------------------- 3D metric
+
+def calc_3d_metric(rec_mesh: str, gt_mesh: str, threshold: float = 0.01,
+                   n_samples: int = 200_000, icp_align: bool = True
+                   ) -> Dict[str, float]:
+    rv, rf, _ = read_ply(rec_mesh)
+    gv, gf, _ = read_ply(gt_mesh)
+    if icp_align:
+        tf = icp_point_to_point(rv, gv)
+        rv = rv @ tf[:3, :3].T + tf[:3, 3]
+    rs = sample_surface(rv, rf, n_samples, seed=0) if rf is not None else rv
+    gs = sample_surface(gv, gf, n_samples, seed=1) if gf is not None else gv
+
+    d_rec_to_gt = cKDTree(gs).query(rs, k=1)[0]   # accuracy distances
+    d_gt_to_rec = cKDTree(rs).query(gs, k=1)[0]   # completion distances
+    precision = float((d_rec_to_gt < threshold).mean() * 100)
+    recall = float((d_gt_to_rec < threshold).mean() * 100)
+    fscore = (2 * precision * recall / (precision + recall)
+              if precision + recall > 0 else 0.0)
+    return {
+        "accuracy": float(d_rec_to_gt.mean() * 100),      # cm
+        "completion": float(d_gt_to_rec.mean() * 100),    # cm
+        "precision": precision,
+        "recall": recall,
+        "normal consistency": float("nan"),  # not computed (needs normals)
+        "F-score": float(fscore),
+    }
+
+
+# ----------------------------------------------------------------- 2D metric
+
+def _normalize(x):
+    return x / np.linalg.norm(x)
+
+
+def _viewmatrix(z, up, pos):
+    vec2 = _normalize(z)
+    vec0 = _normalize(np.cross(up, vec2))
+    vec1 = _normalize(np.cross(vec2, vec0))
+    m = np.eye(4)
+    m[:3, :3] = np.stack([vec0, vec1, vec2], 1)
+    m[:3, 3] = pos
+    return m
+
+
+def _pca_oriented_bounds(verts: np.ndarray):
+    """(extents, transform) of a PCA oriented bounding box: transform maps
+    the origin-centered box frame to world (trimesh.bounds.oriented_bounds
+    analog, axes sorted by decreasing extent)."""
+    mean = verts.mean(0)
+    cov = np.cov((verts - mean).T)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    axes = evecs[:, order]
+    if np.linalg.det(axes) < 0:
+        axes[:, 2] *= -1
+    local = (verts - mean) @ axes
+    lo, hi = local.min(0), local.max(0)
+    extents = hi - lo
+    center = mean + axes @ ((lo + hi) / 2)
+    tf = np.eye(4)
+    tf[:3, :3] = axes
+    tf[:3, 3] = center
+    return extents, tf
+
+
+def _seen_any(points, w2c, fx, fy, cx, cy, h, w):
+    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = -cam[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = fx * cam[:, 0] / z + cx
+        v = -fy * cam[:, 1] / z + cy
+    mask = (z > 0) & (u > 0) & (u < w) & (v > 0) & (v < h)
+    return bool(mask.any())
+
+
+def calc_2d_metric(rec_mesh: str, gt_mesh: str, align: bool = True,
+                   n_imgs: int = 1000, seed: int = 0) -> Dict[str, float]:
+    h = w = 500
+    fx = fy = 300.0
+    cx = cy = h / 2.0 - 0.5
+
+    gv, gf, _ = read_ply(gt_mesh)
+    rv, rf, _ = read_ply(rec_mesh)
+    unseen_file = gt_mesh.replace(".ply", "_pc_unseen.npy")
+    pc_unseen = np.load(unseen_file) if os.path.exists(unseen_file) else None
+    if align:
+        tf = icp_point_to_point(rv, gv)
+        rv = rv @ tf[:3, :3].T + tf[:3, 3]
+
+    extents, transform = _pca_oriented_bounds(gv)
+    extents = extents * np.array([0.3, 0.7, 0.7])
+    transform = transform.copy()
+    transform[2, 3] += 0.4
+
+    rng = random.Random(seed)
+    nrng = np.random.default_rng(seed)
+    errors = []
+    attempts = 0
+    while len(errors) < n_imgs and attempts < n_imgs * 50:
+        attempts += 1
+        up = np.array([0.0, 0.0, -1.0])
+        local = (nrng.random(3) - 0.5) * extents
+        origin = transform[:3, :3] @ local + transform[:3, 3]
+        target = np.array([rng.uniform(-1e4, 1e4) for _ in range(3)]) - origin
+        c2w_fwd = _viewmatrix(target, up, origin)   # z-forward convention
+        # convert to the framework's z-backward convention
+        c2w = c2w_fwd.copy()
+        c2w[:3, 1] *= -1
+        c2w[:3, 2] *= -1
+        w2c = np.linalg.inv(c2w)
+        if pc_unseen is not None and _seen_any(pc_unseen, w2c, fx, fy, cx, cy,
+                                               h, w):
+            continue
+        gt_depth = rasterize_depth(gv, gf, w2c, fx, fy, cx, cy, h, w)
+        ours_depth = rasterize_depth(rv, rf, w2c, fx, fy, cx, cy, h, w)
+        m = ours_depth > 0
+        if m.sum() > 0:
+            errors.append(np.abs(gt_depth[m] - ours_depth[m]).mean())
+    return {"depth l1": float(np.mean(errors) * 100) if errors else float("nan")}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rec_mesh", type=str, required=True)
+    parser.add_argument("--gt_mesh", type=str, required=True)
+    parser.add_argument("-2d", "--metric_2d", action="store_true")
+    parser.add_argument("-3d", "--metric_3d", action="store_true")
+    parser.add_argument("--no_align", action="store_true")
+    parser.add_argument("--n_imgs", type=int, default=1000)
+    args = parser.parse_args()
+    result = {}
+    if args.metric_3d:
+        result.update(calc_3d_metric(args.rec_mesh, args.gt_mesh,
+                                     icp_align=not args.no_align))
+    if args.metric_2d:
+        result.update(calc_2d_metric(args.rec_mesh, args.gt_mesh,
+                                     align=not args.no_align,
+                                     n_imgs=args.n_imgs))
+    print(result)
+
+
+if __name__ == "__main__":
+    main()

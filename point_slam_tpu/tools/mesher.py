@@ -1,0 +1,142 @@
+"""Mesh extraction pipeline: saved renders -> TSDF fusion -> surface mesh.
+
+Mirrors src/tools/get_mesh_tsdf_fusion.py: integrates the re-rendered RGB-D
+frames (rendered depth zeroed wherever the sensor saw no depth) at voxel
+5/512 m / trunc 0.04 m along the estimated trajectory, extracts the surface,
+and (for non-Replica data or on request) drops small connected components.
+Also provides the standalone mesh-from-checkpoint CLI (the reference's
+"serve/export" path, SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from point_slam_tpu.tools.tsdf import TSDFVolume
+from point_slam_tpu.utils.ply import write_ply
+
+
+def fuse_renders(render_dir: str, dataset, estimate_c2w_list, every: int,
+                 intrinsics, voxel=5.0 / 512.0, sdf_trunc=0.04,
+                 bounds_margin=0.2, verbose=True) -> TSDFVolume:
+    fx, fy, cx, cy = intrinsics
+    depth_files = sorted(glob.glob(os.path.join(render_dir, "depth_*.npy")))
+    assert depth_files, f"no renders found in {render_dir}"
+
+    # scene bounds: backproject a sparse subset of rendered depths
+    pts_lo = np.full(3, np.inf)
+    pts_hi = np.full(3, -np.inf)
+    for p in depth_files[:: max(len(depth_files) // 8, 1)]:
+        idx = int(os.path.basename(p)[6:-4])
+        depth = np.load(p)
+        c2w = np.asarray(estimate_c2w_list[idx], np.float64)
+        h, w = depth.shape
+        jj, ii = np.meshgrid(np.arange(0, h, 4), np.arange(0, w, 4),
+                             indexing="ij")
+        d = depth[::4, ::4]
+        ok = d > 0
+        dirs = np.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                         -np.ones_like(ii, np.float64)], -1)
+        pts = c2w[:3, 3] + (dirs @ c2w[:3, :3].T) * d[..., None]
+        pts = pts[ok]
+        if len(pts):
+            pts_lo = np.minimum(pts_lo, pts.min(0))
+            pts_hi = np.maximum(pts_hi, pts.max(0))
+
+    vol = TSDFVolume.from_bounds(pts_lo, pts_hi, voxel, sdf_trunc,
+                                 margin=bounds_margin)
+    if verbose:
+        print(f"TSDF grid {vol.dims} voxels @ {voxel:.4f} m")
+
+    for i, p in enumerate(depth_files):
+        idx = int(os.path.basename(p)[6:-4])
+        depth = np.load(p)
+        color = np.load(os.path.join(render_dir, f"color_{idx:05d}.npy"))
+        # gate rendered depth by the sensor (get_mesh_tsdf_fusion.py:310-315)
+        _, _, gt_depth, _ = dataset[idx]
+        depth = depth.copy()
+        depth[gt_depth == 0] = 0
+        c2w = estimate_c2w_list[idx]
+        vol.integrate(depth, np.clip(color, 0.0, 1.0), c2w, fx, fy, cx, cy)
+        if verbose and i % 20 == 0:
+            print(f"  integrated frame {idx}")
+    return vol
+
+
+def mesh_from_renders(slam, out_dir: str, mesh_path: str,
+                      clean: Optional[bool] = None,
+                      voxel: float = 5.0 / 512.0) -> str:
+    cfg = slam.cfg
+    cam = cfg["cam"]
+    every = cfg["mapping"]["every_frame"]
+    render_dir = os.path.join(out_dir, "rendered_every_frame")
+    if not glob.glob(os.path.join(render_dir, "depth_*.npy")):
+        from point_slam_tpu.tools.evaluate import rerender_frames
+        rerender_frames(slam, out_dir, save_renders=True, eval_img=False)
+
+    vol = fuse_renders(render_dir, slam.dataset, slam.estimate_c2w_list,
+                       every, (cam["fx"], cam["fy"], cam["cx"], cam["cy"]),
+                       voxel=voxel, verbose=cfg.get("verbose", True))
+    if clean is None:
+        clean = cfg["dataset"] != "replica"
+    verts, faces, colors = vol.extract_mesh(
+        min_component_verts=100 if clean else None)
+    os.makedirs(os.path.dirname(mesh_path), exist_ok=True)
+    np.save(os.path.join(os.path.dirname(mesh_path), "vertices_pos.npy"),
+            verts)
+    write_ply(mesh_path, verts, faces, colors)
+    print(f"mesh written to {mesh_path} "
+          f"({len(verts)} verts, {len(faces)} faces)")
+    return mesh_path
+
+
+def main():
+    """Standalone reconstruct-from-checkpoint CLI (get_mesh_tsdf_fusion.py
+    analog): rebuilds the SLAM state from the last checkpoint, re-renders
+    every mapped frame, fuses and meshes."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--name", default=None)
+    parser.add_argument("--no_render", action="store_true",
+                        help="reuse renders already in output dir")
+    parser.add_argument("--clean", action="store_true")
+    parser.add_argument("--voxel", type=float, default=5.0 / 512.0)
+    args = parser.parse_args()
+
+    from point_slam_tpu.config import load_config
+    from point_slam_tpu.slam import PointSLAM
+    from point_slam_tpu.utils.logger import (load_checkpoint,
+                                             restore_cloud_and_params)
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    cfg = load_config(args.config, os.path.join(here, "configs",
+                                                "point_slam.yaml"))
+    slam = PointSLAM(cfg, output=args.output)
+    ckpts = sorted(glob.glob(os.path.join(args.output, "ckpts", "*.npz")))
+    assert ckpts, "no checkpoint found"
+    ckpt = load_checkpoint(ckpts[-1])
+    restore_cloud_and_params(ckpt, slam.mapper)
+    n = min(len(ckpt["estimate_c2w_list"]), slam.n_img)
+    slam.estimate_c2w_list[:n] = ckpt["estimate_c2w_list"][:n]
+    slam.gt_c2w_list[:n] = ckpt["gt_c2w_list"][:n]
+
+    scene = cfg.get("scene", "scene")
+    name = args.name or f"{scene}_pred_mesh.ply"
+    mesh_path = os.path.join(args.output, "mesh", name)
+    if not args.no_render:
+        from point_slam_tpu.tools.evaluate import rerender_frames
+        rerender_frames(slam, args.output, save_renders=True, eval_img=False)
+    mesh_from_renders(slam, args.output, mesh_path, clean=args.clean or None,
+                      voxel=args.voxel)
+
+
+if __name__ == "__main__":
+    main()

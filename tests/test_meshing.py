@@ -1,0 +1,103 @@
+import os
+
+import numpy as np
+import pytest
+
+from point_slam_tpu.tools.marching import (connected_components_filter,
+                                           marching_tetrahedra)
+from point_slam_tpu.tools.tsdf import TSDFVolume
+from point_slam_tpu.utils.ply import read_ply, write_ply
+
+
+def sphere_sdf(n=48, r=0.5):
+    ax = np.linspace(-1, 1, n)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    return np.sqrt(x ** 2 + y ** 2 + z ** 2) - r, ax[1] - ax[0]
+
+
+def test_marching_tets_sphere():
+    sdf, voxel = sphere_sdf()
+    verts, faces, _ = marching_tetrahedra(sdf, 0.0, origin=(-1, -1, -1),
+                                          voxel=voxel)
+    assert len(verts) > 500 and len(faces) > 500
+    radii = np.linalg.norm(verts, axis=1)
+    np.testing.assert_allclose(radii, 0.5, atol=0.06)
+    # faces reference valid vertices
+    assert faces.max() < len(verts) and faces.min() >= 0
+    # normals point outward (away from the center)
+    tri = verts[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    c = tri.mean(1)
+    outward = (n * c).sum(1)
+    assert (outward > 0).mean() > 0.99
+
+
+def test_marching_tets_color_interpolation():
+    sdf, voxel = sphere_sdf(n=24)
+    color = np.zeros(sdf.shape + (3,), np.float32)
+    color[..., 0] = 1.0  # uniformly red
+    verts, faces, vcols = marching_tetrahedra(sdf, 0.0, origin=(-1, -1, -1),
+                                              voxel=voxel, color=color)
+    assert vcols is not None
+    np.testing.assert_allclose(vcols[:, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(vcols[:, 1:], 0.0, atol=1e-5)
+
+
+def test_connected_components_filter():
+    sdf, voxel = sphere_sdf(n=32, r=0.5)
+    # add a tiny floating blob
+    ax = np.linspace(-1, 1, 32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    blob = np.sqrt((x - 0.85) ** 2 + (y - 0.85) ** 2 + (z - 0.85) ** 2) - 0.06
+    sdf = np.minimum(sdf, blob)
+    verts, faces, _ = marching_tetrahedra(sdf, 0.0, (-1, -1, -1), voxel)
+    nv_before = len(verts)
+    verts2, faces2, keep = connected_components_filter(verts, faces, 100)
+    assert len(verts2) < nv_before
+    # the big sphere survives
+    radii = np.linalg.norm(verts2, axis=1)
+    assert np.abs(radii - 0.5).max() < 0.08
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    verts = rng.normal(size=(50, 3)).astype(np.float32)
+    faces = rng.integers(0, 50, size=(30, 3)).astype(np.int32)
+    colors = rng.random((50, 3)).astype(np.float32)
+    p = str(tmp_path / "m.ply")
+    write_ply(p, verts, faces, colors)
+    v2, f2, c2 = read_ply(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(f2, faces)
+    np.testing.assert_allclose(c2 / 255.0, colors, atol=1 / 255.0 + 1e-6)
+
+
+def test_tsdf_fusion_box_room():
+    """Integrate analytic synthetic RGB-D; mesh must sit on the box walls."""
+    from point_slam_tpu.config import load_config
+    from point_slam_tpu.datasets import get_dataset
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(here, "configs", "Synthetic", "room.yaml"),
+                      os.path.join(here, "configs", "point_slam.yaml"))
+    cfg["synthetic"].update({"n_frames": 8, "angular_step": 0.25})
+    cfg["cam"].update({"H": 60, "W": 80, "fx": 45.0, "fy": 45.0,
+                       "cx": 39.5, "cy": 29.5})
+    ds = get_dataset(cfg)
+    box = ds.box
+
+    vol = TSDFVolume.from_bounds(-box, box, voxel=0.08, sdf_trunc=0.24,
+                                 margin=0.1)
+    for i in range(8):
+        _, color, depth, c2w = ds[i]
+        vol.integrate(depth, color, c2w, ds.fx, ds.fy, ds.cx, ds.cy)
+    verts, faces, vcols = vol.extract_mesh()
+    assert len(verts) > 200
+    # signed distance of each vertex to the box surface
+    q = np.abs(verts) - box[None, :]
+    outside = np.linalg.norm(np.maximum(q, 0), axis=1)
+    inside = np.minimum(np.max(q, axis=1), 0)
+    d = outside + inside
+    assert np.abs(d).mean() < 0.06, f"mean |sdf| {np.abs(d).mean():.3f}"
+    # colors close to the analytic color field at the vertex
+    cf = ds._color_field(verts)
+    assert np.abs(vcols - cf).mean() < 0.15
