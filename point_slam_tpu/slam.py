@@ -73,6 +73,20 @@ class PointSLAM:
         self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
         self.timing: Dict[str, float] = {"track": 0.0, "map": 0.0, "io": 0.0}
 
+        from point_slam_tpu.utils.mlog import MetricsLogger
+        self.mlog = MetricsLogger(self.output, cfg,
+                                  name=f"slam_{cfg.get('scene', 'scene')}")
+
+        from point_slam_tpu.utils.visualizer import Visualizer
+        self.track_vis = Visualizer(
+            cfg["tracking"]["vis_freq"], cfg["tracking"]["vis_inside_freq"],
+            os.path.join(self.output, "tracking_vis"), verbose=self.verbose)
+        self.map_vis = Visualizer(
+            cfg["mapping"]["vis_freq"], cfg["mapping"]["vis_inside_freq"],
+            os.path.join(self.output, "mapping_vis"), verbose=self.verbose,
+            img_dir=os.path.join(self.output, "rendered_image")
+            if cfg["mapping"]["save_rendered_image"] else None)
+
     def _frame(self, idx):
         t0 = time.perf_counter()
         _, color, depth, c2w = self.dataset[idx]
@@ -98,8 +112,10 @@ class PointSLAM:
             print(f"[map] frame 0: +{st['n_added']} locations, "
                   f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}")
 
-        for idx in range(1, n):
-            color, depth, gt_c2w = self._frame(idx)
+        from point_slam_tpu.utils.prefetch import FramePrefetcher
+        prefetcher = FramePrefetcher(self.dataset, depth=2, start=1, stop=n)
+        for frame_idx, color, depth, gt_c2w in prefetcher:
+            idx = int(frame_idx)
             self.gt_c2w_list[idx] = gt_c2w
             ef = 1 if (lazy and idx <= lazy) else every
 
@@ -113,9 +129,13 @@ class PointSLAM:
                 exposure_feat=self.mapper.exposure_feat)
             self.timing["track"] += time.perf_counter() - t0
             self.estimate_c2w_list[idx] = res["c2w"]
-            if self.verbose and res.get("tracked"):
-                print(f"[track] frame {idx}: loss "
-                      f"{res['first_loss']:.2f}->{res['best_loss']:.2f}")
+            if res.get("tracked"):
+                if self.verbose:
+                    print(f"[track] frame {idx}: loss "
+                          f"{res['first_loss']:.2f}->{res['best_loss']:.2f}")
+                self.mlog.log({"idx_track": idx,
+                               "track_first_loss": res["first_loss"],
+                               "track_best_loss": res["best_loss"]})
 
             if idx % ef == 0 or idx == n - 1:
                 refine = color_refine and idx == n - 1 and idx == self.n_img - 1
@@ -129,7 +149,19 @@ class PointSLAM:
                           f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}, "
                           f"col {st['color_loss']:.3f}, "
                           f"pts {st['n_points']}")
+                self.mlog.log({"idx_map": idx, **{k: v for k, v in st.items()}})
+                self.map_vis.vis(idx, st["n_iters"] - 1, st["n_iters"],
+                                 self.mapper, self.estimate_c2w_list[idx],
+                                 depth, color,
+                                 save_rendered_image=cfg["mapping"][
+                                     "save_rendered_image"])
+            elif res.get("tracked"):
+                self.track_vis.vis(idx, self.tracker.iters - 1,
+                                   self.tracker.iters, self.mapper,
+                                   self.estimate_c2w_list[idx], depth, color)
 
+        self.mlog.log({"final_n_points": self.mapper.n_points_host,
+                       **{f"time_{k}": v for k, v in self.timing.items()}})
         return {
             "n_frames": n,
             "n_points": self.mapper.n_points_host,

@@ -31,21 +31,28 @@ from point_slam_tpu.utils.raster import rasterize_depth
 # ------------------------------------------------------------------ sampling
 
 def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
-                   seed: int = 0) -> np.ndarray:
-    """Uniform area-weighted surface samples."""
+                   seed: int = 0, return_normals: bool = False):
+    """Uniform area-weighted surface samples (optionally with face normals)."""
     rng = np.random.default_rng(seed)
     tri = verts[faces]
-    areas = 0.5 * np.linalg.norm(
-        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    areas = 0.5 * np.linalg.norm(cross, axis=1)
     if areas.sum() <= 0:
-        return verts[rng.integers(0, len(verts), n)]
+        pts = verts[rng.integers(0, len(verts), n)]
+        return (pts, np.zeros_like(pts)) if return_normals else pts
     probs = areas / areas.sum()
     pick = rng.choice(len(faces), size=n, p=probs)
     r1 = np.sqrt(rng.random(n))
     r2 = rng.random(n)
     a, b, c = tri[pick, 0], tri[pick, 1], tri[pick, 2]
-    return ((1 - r1)[:, None] * a + (r1 * (1 - r2))[:, None] * b
-            + (r1 * r2)[:, None] * c)
+    pts = ((1 - r1)[:, None] * a + (r1 * (1 - r2))[:, None] * b
+           + (r1 * r2)[:, None] * c)
+    if return_normals:
+        nrm = cross[pick]
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True),
+                               1e-12)
+        return pts, nrm
+    return pts
 
 
 # ----------------------------------------------------------------------- ICP
@@ -86,21 +93,34 @@ def calc_3d_metric(rec_mesh: str, gt_mesh: str, threshold: float = 0.01,
     if icp_align:
         tf = icp_point_to_point(rv, gv)
         rv = rv @ tf[:3, :3].T + tf[:3, 3]
-    rs = sample_surface(rv, rf, n_samples, seed=0) if rf is not None else rv
-    gs = sample_surface(gv, gf, n_samples, seed=1) if gf is not None else gv
+    if rf is not None:
+        rs, rn = sample_surface(rv, rf, n_samples, seed=0, return_normals=True)
+    else:
+        rs, rn = rv, None
+    if gf is not None:
+        gs, gn = sample_surface(gv, gf, n_samples, seed=1, return_normals=True)
+    else:
+        gs, gn = gv, None
 
-    d_rec_to_gt = cKDTree(gs).query(rs, k=1)[0]   # accuracy distances
-    d_gt_to_rec = cKDTree(rs).query(gs, k=1)[0]   # completion distances
+    gt_tree = cKDTree(gs)
+    rec_tree = cKDTree(rs)
+    d_rec_to_gt, j_rec = gt_tree.query(rs, k=1)   # accuracy distances
+    d_gt_to_rec, j_gt = rec_tree.query(gs, k=1)   # completion distances
     precision = float((d_rec_to_gt < threshold).mean() * 100)
     recall = float((d_gt_to_rec < threshold).mean() * 100)
     fscore = (2 * precision * recall / (precision + recall)
               if precision + recall > 0 else 0.0)
+    if rn is not None and gn is not None:
+        nc = 0.5 * (np.abs((rn * gn[j_rec]).sum(1)).mean()
+                    + np.abs((gn * rn[j_gt]).sum(1)).mean())
+    else:
+        nc = float("nan")
     return {
         "accuracy": float(d_rec_to_gt.mean() * 100),      # cm
         "completion": float(d_gt_to_rec.mean() * 100),    # cm
         "precision": precision,
         "recall": recall,
-        "normal consistency": float("nan"),  # not computed (needs normals)
+        "normal consistency": float(nc),
         "F-score": float(fscore),
     }
 

@@ -1,0 +1,53 @@
+"""Double-buffered background frame prefetching.
+
+TPU-native replacement for the reference's DataLoader(num_workers=1)
+(src/Tracker.py:77-78, SURVEY §2.2 P6): a worker thread decodes the next
+frame(s) and stages them while the device crunches the current one.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+
+class FramePrefetcher:
+    def __init__(self, dataset, depth: int = 2,
+                 start: int = 0, stop: Optional[int] = None):
+        self.dataset = dataset
+        self.stop_idx = len(dataset) if stop is None else min(stop, len(dataset))
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(
+            target=self._worker, args=(start,), daemon=True)
+        self._stopped = threading.Event()
+        self._thread.start()
+
+    def _worker(self, start: int):
+        for i in range(start, self.stop_idx):
+            if self._stopped.is_set():
+                return
+            try:
+                item = self.dataset[i]
+            except Exception as e:  # propagate through the queue
+                self.q.put(("error", e))
+                return
+            self.q.put(("ok", item))
+        self.q.put(("done", None))
+
+    def __iter__(self) -> Iterator[Tuple]:
+        while True:
+            kind, item = self.q.get()
+            if kind == "done":
+                return
+            if kind == "error":
+                raise item
+            yield item
+
+    def close(self):
+        self._stopped.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
