@@ -25,7 +25,8 @@ TPU_DEFAULTS: Dict[str, Any] = {
         "point_capacity_max": 1 << 22,    # hard cap
         "knn_backend": "grid",            # 'grid' | 'brute'
         "grid_max_per_cell": 96,          # candidate cap per hash cell
-        "grid_table_size": 1 << 20,       # hash table size
+        "grid_table_size": 1 << 16,       # cell-table buckets (table memory =
+                                          # buckets * cap * 16B; 64k*96 = 100MB)
         "dtype": "float32",
         "data_parallel": 1,               # number of devices to shard ray batches over
         "keyframe_device_budget": 400,    # max keyframes held on device

@@ -383,7 +383,9 @@ class Mapper:
                           if cfg["use_dynamic_radius"] else
                           max(pcfg["radius_query"], pcfg["radius_add"]))
         self.table_size = cfg["tpu"]["grid_table_size"]
-        self.index = pc.build_index(self.cloud, self.cell_size, self.table_size)
+        self.max_per_cell = cfg["tpu"]["grid_max_per_cell"]
+        self.index = pc.build_index(self.cloud, self.cell_size,
+                                    self.table_size, self.max_per_cell)
 
         kf_budget = min(cfg["tpu"]["keyframe_device_budget"],
                         n_img // max(mp["keyframe_every"], 1) + 4)
@@ -490,10 +492,9 @@ class Mapper:
                 self.cloud, self.index, o, d, dep, col, valid, ra,
                 self._next_key(), self.ms.near_end_surface_pc,
                 self.ms.far_end_surface_pc, n_add=self.ms.n_add,
-                fix_interval=cfg["pointcloud"]["fix_interval_when_add_along_ray"],
-                max_per_cell=self.rc.max_per_cell)
+                fix_interval=cfg["pointcloud"]["fix_interval_when_add_along_ray"])
             self.index = pc.build_index(self.cloud, self.cell_size,
-                                        self.table_size)
+                                        self.table_size, self.max_per_cell)
             n_acc_total += int(n1)
 
             if mp["pixels_based_on_color_grad"] > 0 and cand_idx is not None:
@@ -505,10 +506,9 @@ class Mapper:
                     self._next_key(), self.ms.near_end_surface_pc,
                     self.ms.far_end_surface_pc, n_add=self.ms.n_add,
                     fix_interval=cfg["pointcloud"][
-                        "fix_interval_when_add_along_ray"],
-                    max_per_cell=self.rc.max_per_cell)
+                        "fix_interval_when_add_along_ray"])
                 self.index = pc.build_index(self.cloud, self.cell_size,
-                                            self.table_size)
+                                            self.table_size, self.max_per_cell)
                 n_acc_total += int(n2)
             self.n_points_host = int(self.cloud.n_points)
 

@@ -4,14 +4,18 @@ This is the TPU-native replacement for the reference's FAISS GPU IVFFlat
 index (src/neural_point.py:37-41,169-215 — top-8 squared L2 + per-query
 radius counts). Two strategies:
 
-* ``grid``  — voxel grid-hash: points sorted by hashed cell id; queries gather
-  candidates from the 27-cell neighborhood (cell size >= max query radius, so
-  the candidate set covers the query ball exactly, up to the per-cell cap) and
-  select top-k by squared distance. All static shapes; index rebuild is a
-  single jit (sort + take). Since only in-radius neighbors ever receive
-  interpolation weight (decoder.py:157) and the dedup/count tests are
-  radius-bounded, radius-limited candidates are semantically sufficient — and
-  this search has *better* recall than the reference's IVF nprobe=4/400.
+* ``grid``  — voxel grid-hash stored as a *dense cell table*: a
+  (TABLE, C, 4) f32 array where row [h] holds up to C packed candidates
+  (xyz + bitcast int32 point id) of every point whose cell hashes to bucket
+  h; empty slots carry +inf positions so their distances are +inf without
+  any masking. Queries gather the 27-neighbor-cell blocks — one *wide-row*
+  gather (27 rows of C*16 bytes per query) instead of per-point 12-byte rows,
+  which is the difference between ~1 GB/s and near-bandwidth gather
+  throughput on TPU — and select top-k by exact squared distance. Since only
+  in-radius neighbors ever receive interpolation weight (decoder.py:157) and
+  the dedup/count tests are radius-bounded, radius-limited candidates are
+  semantically sufficient — and this search has *better* recall than the
+  reference's IVF nprobe=4/400.
 * ``brute`` — exact tiled scan with a running top-k merge; used as the test
   oracle and for small clouds.
 
@@ -38,28 +42,57 @@ def _hash_cells(cells: jnp.ndarray, table_size: int) -> jnp.ndarray:
 
 
 class GridIndex(NamedTuple):
-    """Sorted-by-bucket point index. Shapes are static in the point capacity."""
-    sorted_h: jnp.ndarray    # (CAP,) int32 bucket ids, invalid points = table_size
-    sorted_idx: jnp.ndarray  # (CAP,) int32 original point indices
+    """Dense cell-table point index. Shapes are static in (table_size, C)."""
+    table: jnp.ndarray       # (TABLE, C, 4) f32: xyz + bitcast int32 id;
+                             # empty slots have +inf position
     cell_size: jnp.ndarray   # () f32
-    table_size: int          # static python int
+
+    @property
+    def table_size(self) -> int:
+        return self.table.shape[0]
+
+    @property
+    def max_per_cell(self) -> int:
+        return self.table.shape[1]
 
 
-@functools.partial(jax.jit, static_argnames=("table_size",))
+@functools.partial(jax.jit, static_argnames=("table_size", "max_per_cell"))
 def build_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
-                     cell_size: jnp.ndarray, table_size: int = 1 << 20) -> GridIndex:
-    """Build the hash index over the first ``n_points`` rows of ``points``.
+                     cell_size: jnp.ndarray, table_size: int = 1 << 16,
+                     max_per_cell: int = 96) -> GridIndex:
+    """Build the cell table over the first ``n_points`` rows of ``points``.
 
     cell_size must be >= the largest query radius that will ever be used with
     this index (the SLAM loop uses the config's max dynamic query radius).
+    Points beyond ``max_per_cell`` in one bucket are dropped (the analog of
+    the reference's IVF probe-limited recall).
     """
     cap = points.shape[0]
+    c = max_per_cell
     valid = jnp.arange(cap) < n_points
     cells = jnp.floor(points / cell_size).astype(jnp.int32)
     h = _hash_cells(cells, table_size).astype(jnp.int32)
     h = jnp.where(valid, h, table_size)
     order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    return GridIndex(h[order], order, jnp.asarray(cell_size, jnp.float32), table_size)
+    hs = h[order]
+
+    # slot within the bucket = position inside the sorted run
+    ar = jnp.arange(cap, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(is_start, ar, 0))
+    rank = ar - run_start
+    dst = hs * c + rank
+    dst = jnp.where((rank < c) & (hs < table_size), dst, table_size * c)
+
+    pos_sorted = points[order]
+    packed = jnp.concatenate(
+        [pos_sorted.astype(jnp.float32),
+         jax.lax.bitcast_convert_type(order, jnp.float32)[:, None]], axis=-1)
+    flat = jnp.full((table_size * c, 4), jnp.inf, jnp.float32)
+    flat = flat.at[dst].set(packed, mode="drop")
+    return GridIndex(flat.reshape(table_size, c, 4),
+                     jnp.asarray(cell_size, jnp.float32))
 
 
 # The 27 neighbor-cell offsets, static.
@@ -68,14 +101,12 @@ _OFFSETS = jnp.array(
     dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_per_cell"))
-def grid_knn(index: GridIndex, points: jnp.ndarray, queries: jnp.ndarray,
-             k: int = 8, max_per_cell: int = 96):
+@functools.partial(jax.jit, static_argnames=("k",))
+def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
     """Top-k in-ball neighbors for each query.
 
     Args:
-        index: GridIndex over ``points``.
-        points: (CAP, 3) point buffer the index was built from.
+        index: GridIndex built by build_grid_index.
         queries: (Q, 3).
 
     Returns:
@@ -85,12 +116,13 @@ def grid_knn(index: GridIndex, points: jnp.ndarray, queries: jnp.ndarray,
     """
     q = queries.astype(jnp.float32)
     nq = q.shape[0]
-    cap = points.shape[0]
+    table_size = index.table_size
+    c = index.max_per_cell
     qcells = jnp.floor(q / index.cell_size).astype(jnp.int32)  # (Q,3)
 
     # Bucket ids of the 27 neighbor cells: (Q, 27)
     probe_cells = qcells[:, None, :] + _OFFSETS[None, :, :]
-    hs = _hash_cells(probe_cells, index.table_size).astype(jnp.int32)
+    hs = _hash_cells(probe_cells, table_size).astype(jnp.int32)
 
     # Dedup buckets that collide among this query's 27 probes (would otherwise
     # surface the same candidates twice and corrupt top-k / radius counts).
@@ -98,22 +130,17 @@ def grid_knn(index: GridIndex, points: jnp.ndarray, queries: jnp.ndarray,
         jnp.arange(27)[None, :, None] > jnp.arange(27)[None, None, :])
     probe_ok = ~jnp.any(dup, axis=-1)  # (Q, 27)
 
-    start = jnp.searchsorted(index.sorted_h, hs.reshape(-1), side="left").reshape(nq, 27)
-    end = jnp.searchsorted(index.sorted_h, hs.reshape(-1), side="right").reshape(nq, 27)
+    blocks = index.table[hs]                                 # (Q,27,C,4)
+    cand_pos = blocks[..., :3]
+    cand_idx = jax.lax.bitcast_convert_type(blocks[..., 3], jnp.int32)
 
-    take = start[:, :, None] + jnp.arange(max_per_cell)[None, None, :]  # (Q,27,C)
-    cand_ok = (take < end[:, :, None]) & probe_ok[:, :, None]
-    take = jnp.clip(take, 0, cap - 1)
-    cand_idx = index.sorted_idx[take]                       # (Q,27,C)
-
-    cand_pos = points[cand_idx.reshape(nq, -1)]             # (Q,27C,3)
-    diff = cand_pos - q[:, None, :]
-    d2 = jnp.sum(diff * diff, axis=-1)                      # (Q,27C)
-    d2 = jnp.where(cand_ok.reshape(nq, -1), d2, jnp.inf)
+    diff = cand_pos - q[:, None, None, :]
+    d2 = jnp.sum(diff * diff, axis=-1)                       # (Q,27,C)
+    d2 = jnp.where(probe_ok[:, :, None], d2, jnp.inf).reshape(nq, 27 * c)
 
     neg_top, pos = jax.lax.top_k(-d2, k)
     dists = -neg_top
-    idx = jnp.take_along_axis(cand_idx.reshape(nq, -1), pos, axis=1)
+    idx = jnp.take_along_axis(cand_idx.reshape(nq, 27 * c), pos, axis=1)
     valid = jnp.isfinite(dists)
     idx = jnp.where(valid, idx, 0)
     return dists, idx, valid

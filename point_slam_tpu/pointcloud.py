@@ -71,7 +71,7 @@ def grow_cloud(state: CloudState, new_capacity: int, n_add: int) -> CloudState:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_add", "fix_interval", "max_per_cell", "use_dedup"))
+    "n_add", "fix_interval", "use_dedup"))
 def add_points(state: CloudState, index: knn.GridIndex,
                rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                gt_depth: jnp.ndarray, gt_color: jnp.ndarray,
@@ -79,7 +79,7 @@ def add_points(state: CloudState, index: knn.GridIndex,
                key: jnp.ndarray,
                near_end_surface: jnp.ndarray, far_end_surface: jnp.ndarray,
                n_add: int = 3, fix_interval: bool = False,
-               max_per_cell: int = 96, use_dedup: bool = True,
+               use_dedup: bool = True,
                ) -> Tuple[CloudState, jnp.ndarray]:
     """Densify the cloud from a fixed-size candidate ray batch.
 
@@ -95,8 +95,7 @@ def add_points(state: CloudState, index: knn.GridIndex,
     pts_gt = rays_o + rays_d * gt_depth[:, None]
 
     if use_dedup:
-        d, i, v = knn.grid_knn(index, state.pos, pts_gt, k=8,
-                               max_per_cell=max_per_cell)
+        d, i, v = knn.grid_knn(index, pts_gt, k=8)
         counts = knn.neighbor_count(d, v, dedup_radius)
         # an untrained/empty cloud accepts everything (index.is_trained False
         # branch of src/neural_point.py:118)
@@ -142,17 +141,18 @@ def add_points(state: CloudState, index: knn.GridIndex,
     return new_state, n_acc
 
 
-def build_index(state: CloudState, cell_size, table_size: int = 1 << 20
-                ) -> knn.GridIndex:
+def build_index(state: CloudState, cell_size, table_size: int = 1 << 16,
+                max_per_cell: int = 96) -> knn.GridIndex:
     return knn.build_grid_index(state.pos, state.n_points,
-                                jnp.asarray(cell_size, jnp.float32), table_size)
+                                jnp.asarray(cell_size, jnp.float32),
+                                table_size, max_per_cell)
 
 
-@functools.partial(jax.jit, static_argnames=("num", "intervals", "max_per_cell"))
-def sample_near_pcl(index: knn.GridIndex, pos: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("num", "intervals"))
+def sample_near_pcl(index: knn.GridIndex,
                     rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     near, far, r_query: jnp.ndarray,
-                    num: int = 5, intervals: int = 25, max_per_cell: int = 96):
+                    num: int = 5, intervals: int = 25):
     """Depth-free rays: march `intervals` coarse samples, keep rays with >=2
     samples near the cloud and place `num` z-values between the first two such
     samples (faithful to src/neural_point.py:217-277, including the quirk that
@@ -163,8 +163,7 @@ def sample_near_pcl(index: knn.GridIndex, pos: jnp.ndarray,
     r = rays_o.shape[0]
     z_sec = jnp.linspace(near, far, intervals)                 # (I,)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_sec[None, :, None]
-    d, i, v = knn.grid_knn(index, pos, pts.reshape(-1, 3), k=8,
-                           max_per_cell=max_per_cell)
+    d, i, v = knn.grid_knn(index, pts.reshape(-1, 3), k=8)
     counts = knn.neighbor_count(d, v, r_query).reshape(r, intervals)
     has = counts > 0                                           # (R,I)
     n_near = jnp.sum(has.astype(jnp.int32), axis=1)

@@ -82,9 +82,9 @@ def build_z_vals(rc: RenderConfig, index: knn.GridIndex, cloud_pos: jnp.ndarray,
     near_pcl_ok = jnp.ones_like(gt_depth, dtype=bool)
     if rc.sample_near_pcl:
         z_zero, invalid_near = pc.sample_near_pcl(
-            index, cloud_pos,
+            index,
             jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d),
-            rc.near_end, far, r_query, num=ns, max_per_cell=rc.max_per_cell)
+            rc.near_end, far, r_query, num=ns)
         near_pcl_ok = jnp.where(gt_depth > 0, True, ~invalid_near)
     else:
         # uniform near_end -> far (traced endpoint): interpolate manually
@@ -117,9 +117,8 @@ def render_rays(params: Dict[str, Any], geo_feats, col_feats,
     p = pts.reshape(-1, 3)                                   # (R*ns, 3)
     r_query_pts = jnp.repeat(r_query, ns)
 
-    dists, idx, valid = knn.grid_knn(index, cloud_pos,
-                                     jax.lax.stop_gradient(p),
-                                     k=rc.nn_num, max_per_cell=rc.max_per_cell)
+    dists, idx, valid = knn.grid_knn(index, jax.lax.stop_gradient(p),
+                                     k=rc.nn_num)
     counts = knn.neighbor_count(dists, valid, r_query_pts)
     has_neighbors = counts > rc.min_nn_num - 1
 

@@ -88,6 +88,6 @@ def restore_cloud_and_params(ckpt: Dict[str, np.ndarray], mapper) -> None:
     )
     mapper.n_points_host = n
     mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
-                                  mapper.table_size)
+                                  mapper.table_size, mapper.max_per_cell)
     mapper.params = _unflatten_params(mapper.params, ckpt)
     mapper.keyframe_list = [int(i) for i in ckpt["keyframe_list"]]

@@ -57,8 +57,7 @@ def test_grid_knn_matches_brute_within_radius():
                rng.normal(scale=0.08, size=(q, 3)).astype(np.float32))
     idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n),
                                jnp.asarray(radius), table_size=1 << 14)
-    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(pts), jnp.asarray(queries),
-                              k=8, max_per_cell=96)
+    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(queries), k=8)
     rd, ri = numpy_knn(pts, n, queries, 8)
     gd, gv = np.asarray(gd), np.asarray(gv)
     # wherever the oracle's k-th neighbor is within the radius, grid must agree
@@ -79,7 +78,7 @@ def test_grid_knn_per_query_radius_counts():
     queries = pts[:q] + rng.normal(scale=0.02, size=(q, 3)).astype(np.float32)
     radii = rng.uniform(0.02, 0.2, size=q).astype(np.float32)
     idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n), jnp.asarray(0.2))
-    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(pts), jnp.asarray(queries), k=8)
+    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(queries), k=8)
     counts = np.asarray(knn.neighbor_count(jnp.asarray(gd), jnp.asarray(gv),
                                            jnp.asarray(radii)))
     rd, _ = numpy_knn(pts, n, queries, 8)
@@ -92,6 +91,6 @@ def test_grid_knn_empty_cloud():
     pts = np.full((cap, 3), 1e6, np.float32)
     queries = np.zeros((4, 3), np.float32)
     idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(0), jnp.asarray(0.1))
-    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(pts), jnp.asarray(queries), k=8)
+    gd, gi, gv = knn.grid_knn(idx, jnp.asarray(queries), k=8)
     assert not np.any(np.asarray(gv))
     assert np.all(np.isinf(np.asarray(gd)))

@@ -98,7 +98,7 @@ def test_sample_near_pcl():
     # ray 0 passes through the cloud near z=-2; ray 1 misses everything
     miss_o = jnp.asarray([[0., 0., 0.], [5000., 0., 0.]], jnp.float32)
     miss_d = jnp.asarray([[0., 0., -1.], [0., 0., -1.]], jnp.float32)
-    z_vals, invalid = pc.sample_near_pcl(index, state.pos, miss_o, miss_d,
+    z_vals, invalid = pc.sample_near_pcl(index, miss_o, miss_d,
                                          0.3, jnp.asarray(4.0),
                                          jnp.full(2 * 25, 0.2), num=5)
     inv = np.asarray(invalid)
