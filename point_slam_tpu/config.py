@@ -29,6 +29,9 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # buckets * cap * 16B; 64k*96 = 100MB)
         "dtype": "float32",
         "data_parallel": 1,               # number of devices to shard ray batches over
+        "max_iters_per_launch": 200,      # chunk long optimization loops so a
+                                          # single device program stays under
+                                          # the runtime watchdog
         "keyframe_device_budget": 400,    # max keyframes held on device
     },
 }

@@ -179,13 +179,13 @@ def _sample_window_rays(ms: MapperStatic, key, window, n_frames,
     return rays
 
 
-def _losses(ms: MapperStatic, rc: R.RenderConfig, params, geo_feats, col_feats,
-            window_exposure, cloud_pos, n_points, index, rays, key,
+def _losses(ms: MapperStatic, rc: R.RenderConfig, params, packed,
+            window_exposure, n_points, index, rays, key,
             stage_color: bool, ba_c2w=None):
     """Masked geometry(+color) losses for one ray batch. Returns
     (loss, (geo_loss, color_loss, n_mask))."""
     depth, uncertainty, color, valid_ray = R.render_rays(
-        params, geo_feats, col_feats, cloud_pos, n_points, index,
+        params, packed, n_points, index,
         rays["rays_o"], rays["rays_d"], rays["gt_depth"], rays["r_query"],
         rays["ray_ok"], key, rc, stage_color=stage_color,
         is_tracker=False, apply_sigmoid_color=not ms.encode_exposure)
@@ -209,26 +209,42 @@ def _losses(ms: MapperStatic, rc: R.RenderConfig, params, geo_feats, col_feats,
 
 @functools.partial(jax.jit, static_argnames=("ms", "rc"))
 def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
-                 params, geo_feats, col_feats, cloud_pos, n_points, index,
+                 params, packed, n_points, index,
                  window_color, window_depth, window_rquery, window_c2w,
                  window_exposure, n_frames, pixs_per_image, cur_slot,
                  frustum, lr_geo_stage, lr_color_stage, lr_exposure,
-                 fix_color, geo_iter_bound, n_iters, key):
+                 fix_color, geo_iter_bound, n_iters, key,
+                 it0=None, opt_in=None):
     """The per-frame mapping optimization: while_loop over joint iterations.
+
+    The cloud state rides as ONE packed (CAP, 72) leaf (geo|col|pos columns,
+    pointcloud layout): a single neighbor gather in the forward, a single
+    scatter-add in the backward, and a single Adam pass with a per-COLUMN
+    learning-rate row (geometry columns get geometry_lr, color columns
+    color_lr, position columns 0 — positions also carry stop_gradient, so
+    their moments stay exactly zero and they never move).
 
     Traced knobs: LR triples [decoders, geometry_feats, color_feats] for each
     stage, the geometry/color switch iteration, the iteration count, the
     frustum gradient mask, and a 0/1 multiplier freezing the color decoder
-    (color refinement). Returns updated (params, geo_feats, col_feats,
-    window_exposure, stats).
+    (color refinement). Returns updated (params, packed,
+    window_exposure, stats, opt_state, key).
+
+    ``it0``/``opt_in`` resume a chunked run: the host splits long frames into
+    launches of <= tpu.max_iters_per_launch iterations each (a single XLA
+    program running for minutes gets killed by the runtime watchdog), carrying
+    the Adam state and PRNG key across launches. Iteration semantics are
+    identical to one monolithic loop.
     """
     window = dict(color=window_color, depth=window_depth, r_query=window_rquery)
 
-    diff0 = {"col": params["col"], "geo_feats": geo_feats,
-             "col_feats": col_feats, "exposure": window_exposure}
+    diff0 = {"col": params["col"], "packed": packed,
+             "exposure": window_exposure}
     if not ms.fix_geo_decoder:
         diff0["geo"] = params["geo"]
-    opt0 = adam.init_state(diff0)
+    opt0 = adam.init_state(diff0) if opt_in is None else opt_in
+    if it0 is None:
+        it0 = jnp.zeros((), jnp.int32)
 
     def build_params(diff):
         p = {"col": diff["col"],
@@ -237,8 +253,8 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
     def loss_fn(diff, rays, it_key, stage_color):
         p = build_params(diff)
-        return _losses(ms, rc, p, diff["geo_feats"], diff["col_feats"],
-                       diff["exposure"], cloud_pos, n_points, index, rays,
+        return _losses(ms, rc, p, diff["packed"],
+                       diff["exposure"], n_points, index, rays,
                        it_key, stage_color)
 
     grad_geo = jax.value_and_grad(
@@ -248,6 +264,9 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
     exp_onehot = (jnp.arange(window_exposure.shape[0]) == cur_slot
                   ).astype(jnp.float32)[:, None]
+    col_ones = jnp.zeros((pc.PACK_W,), jnp.float32)
+    geo_cols = col_ones.at[pc.GEO_SL].set(1.0)
+    col_cols = col_ones.at[pc.COL_SL].set(1.0)
 
     def body(carry):
         it, diff, opt, key, _stats = carry
@@ -264,13 +283,13 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
         # gradient masking: frustum-selected features only; exposure only for
         # the current frame; color decoder frozen during refinement
         fmask = frustum[:, None].astype(jnp.float32)
-        grads["geo_feats"] = grads["geo_feats"] * fmask
-        grads["col_feats"] = grads["col_feats"] * fmask
+        grads["packed"] = grads["packed"] * fmask
         grads["exposure"] = grads["exposure"] * exp_onehot
         grads["col"] = jax.tree_util.tree_map(lambda g: g * fix_color,
                                               grads["col"])
 
         lrs = jnp.where(stage_geo, lr_geo_stage, lr_color_stage)
+        lr_packed = geo_cols * lrs[1] + col_cols * lrs[2]   # (PACK_W,) row
         t = (it + 1).astype(jnp.float32)
 
         new_diff = dict(diff)
@@ -287,8 +306,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
         step_group("col", lrs[0])
         if not ms.fix_geo_decoder:
             step_group("geo", lrs[0])
-        step_group("geo_feats", lrs[1])
-        step_group("col_feats", lrs[2])
+        step_group("packed", lr_packed)
         step_group("exposure", lr_exposure)
 
         geo_l, col_l, n_mask = aux
@@ -298,12 +316,12 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
     def cond(carry):
         return carry[0] < jnp.minimum(n_iters, ms.max_iters)
 
-    init = (jnp.zeros((), jnp.int32), diff0, opt0, key, jnp.zeros(3))
-    _, diff, _, _, stats = jax.lax.while_loop(cond, body, init)
+    init = (jnp.asarray(it0, jnp.int32), diff0, opt0, key, jnp.zeros(3))
+    it_out, diff, opt, key_out, stats = jax.lax.while_loop(cond, body, init)
 
     out_params = build_params(diff)
-    return (out_params, diff["geo_feats"], diff["col_feats"],
-            diff["exposure"], stats)
+    return (out_params, diff["packed"],
+            diff["exposure"], stats, opt, key_out)
 
 
 # ------------------------------------------------------------------ densify
@@ -574,18 +592,32 @@ class Mapper:
                 jnp.asarray(self.exposure_feat))
             pixs_per_image = self.ms.r_max // n_frames
 
-            (self.params, geo_feats, col_feats, w_exp_out, stats_dev) = \
-                map_optimize(
-                    self.ms, self.rc, self.params, self.cloud.geo_feats,
-                    self.cloud.col_feats, self.cloud.pos, self.cloud.n_points,
-                    self.index, w_color, w_depth, w_rq, w_c2w, w_exp,
+            # chunked launches: a single device program must stay well under
+            # the runtime watchdog (~1 min); iteration semantics are unchanged
+            chunk = max(int(self.cfg["tpu"].get("max_iters_per_launch", 200)), 1)
+            it = 0
+            opt_state = None
+            key = self._next_key()
+            params = self.params
+            packed = self.cloud.packed
+            w_exp_out = w_exp
+            stats_dev = jnp.zeros(3)
+            while it < n_iters:
+                n_end = min(it + chunk, n_iters)
+                (params, packed, w_exp_out, stats_dev,
+                 opt_state, key) = map_optimize(
+                    self.ms, self.rc, params, packed,
+                    self.cloud.n_points,
+                    self.index, w_color, w_depth, w_rq, w_c2w, w_exp_out,
                     jnp.asarray(n_frames), jnp.asarray(pixs_per_image),
                     jnp.asarray(len(sel)), frustum, lr_geo, lr_col,
                     jnp.asarray(0.001), fix_color, jnp.asarray(geo_bound),
-                    jnp.asarray(n_iters), self._next_key())
+                    jnp.asarray(n_end), key,
+                    it0=jnp.asarray(it, jnp.int32), opt_in=opt_state)
+                it = n_end
+            self.params = params
 
-            self.cloud = self.cloud._replace(geo_feats=geo_feats,
-                                             col_feats=col_feats)
+            self.cloud = self.cloud._replace(packed=packed)
             if self.ms.encode_exposure:
                 self.exposure_feat = np.asarray(w_exp_out[len(sel)])
             stats = np.asarray(stats_dev)

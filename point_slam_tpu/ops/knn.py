@@ -132,7 +132,6 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
 
     blocks = index.table[hs]                                 # (Q,27,C,4)
     cand_pos = blocks[..., :3]
-    cand_idx = jax.lax.bitcast_convert_type(blocks[..., 3], jnp.int32)
 
     diff = cand_pos - q[:, None, None, :]
     d2 = jnp.sum(diff * diff, axis=-1)                       # (Q,27,C)
@@ -140,7 +139,13 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
 
     neg_top, pos = jax.lax.top_k(-d2, k)
     dists = -neg_top
-    idx = jnp.take_along_axis(cand_idx.reshape(nq, 27 * c), pos, axis=1)
+    # Reconstruct the point id of each winner with a tiny (Q,k) gather from
+    # the flat table instead of materializing + take_along_axis over the full
+    # (Q, 27*C) int32 candidate-id tensor (saves two 27*C-wide HBM passes).
+    win_h = jnp.take_along_axis(hs, pos // c, axis=1)        # (Q,k)
+    flat_ids = index.table.reshape(table_size * c, 4)[:, 3]
+    idx = jax.lax.bitcast_convert_type(
+        flat_ids[win_h * c + (pos % c)], jnp.int32)
     valid = jnp.isfinite(dists)
     idx = jnp.where(valid, idx, 0)
     return dists, idx, valid

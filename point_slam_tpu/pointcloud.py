@@ -6,6 +6,15 @@ is a pytree of pre-allocated HBM arrays with a live count; insertion is a
 masked compact-scatter (one jit), and neighbor search goes through the
 grid-hash index (ops/knn.py) rebuilt as a jit after each insertion.
 
+Storage layout: geometry features, color features, and positions live in ONE
+packed (CAP, 72) array — [geo 0:32 | col 32:64 | pos 64:67 | pad 67:72].
+TPU row-gathers are row-count bound, not byte bound (a 64-wide f32 row gather
+is ~2x faster than two 32-wide ones, measured), so the renderer fetches all
+per-neighbor state with a single gather, the backward pass is a single
+scatter-add, and the mapper's Adam runs over one leaf with per-column
+learning rates. The reference keeps three separate tensors
+(src/neural_point.py:29-34); the semantics are identical.
+
 Semantics preserved:
 * points added only at locations with no existing neighbor within the
   (per-ray dynamic) add radius (src/neural_point.py:118-121)
@@ -26,23 +35,44 @@ import jax.numpy as jnp
 
 from point_slam_tpu.ops import knn
 
+# packed-column layout (f32): c_dim geo | c_dim col | 3 pos | pad to PACK_W
+C_DIM = 32
+GEO_SL = slice(0, C_DIM)
+COL_SL = slice(C_DIM, 2 * C_DIM)
+POS_SL = slice(2 * C_DIM, 2 * C_DIM + 3)
+PACK_W = 72
+
 
 class CloudState(NamedTuple):
-    pos: jnp.ndarray        # (CAP, 3) neural point positions
-    geo_feats: jnp.ndarray  # (CAP, c_dim)
-    col_feats: jnp.ndarray  # (CAP, c_dim)
+    packed: jnp.ndarray     # (CAP, PACK_W): geo feats | col feats | pos | pad
     n_points: jnp.ndarray   # () int32
     input_pos: jnp.ndarray  # (CAP // N_add, 3) accepted surface locations
     input_rgb: jnp.ndarray  # (CAP // N_add, 3) rgb * 255
     n_inputs: jnp.ndarray   # () int32
 
+    @property
+    def pos(self) -> jnp.ndarray:
+        return self.packed[:, POS_SL]
+
+    @property
+    def geo_feats(self) -> jnp.ndarray:
+        return self.packed[:, GEO_SL]
+
+    @property
+    def col_feats(self) -> jnp.ndarray:
+        return self.packed[:, COL_SL]
+
+
+def _empty_rows(n: int) -> jnp.ndarray:
+    row = jnp.zeros((PACK_W,), jnp.float32).at[POS_SL].set(1e6)
+    return jnp.tile(row, (n, 1))
+
 
 def init_cloud(capacity: int, c_dim: int, n_add: int) -> CloudState:
+    assert c_dim == C_DIM, "packed layout is fixed at c_dim=32"
     icap = capacity // n_add
     return CloudState(
-        pos=jnp.full((capacity, 3), 1e6, jnp.float32),
-        geo_feats=jnp.zeros((capacity, c_dim), jnp.float32),
-        col_feats=jnp.zeros((capacity, c_dim), jnp.float32),
+        packed=_empty_rows(capacity),
         n_points=jnp.zeros((), jnp.int32),
         input_pos=jnp.zeros((icap, 3), jnp.float32),
         input_rgb=jnp.zeros((icap, 3), jnp.float32),
@@ -52,15 +82,11 @@ def init_cloud(capacity: int, c_dim: int, n_add: int) -> CloudState:
 
 def grow_cloud(state: CloudState, new_capacity: int, n_add: int) -> CloudState:
     """Host-side capacity doubling (bounded recompiles)."""
-    cap = state.pos.shape[0]
+    cap = state.packed.shape[0]
     extra = new_capacity - cap
     icap_extra = new_capacity // n_add - state.input_pos.shape[0]
     return CloudState(
-        pos=jnp.concatenate([state.pos, jnp.full((extra, 3), 1e6, jnp.float32)]),
-        geo_feats=jnp.concatenate(
-            [state.geo_feats, jnp.zeros((extra, state.geo_feats.shape[1]), jnp.float32)]),
-        col_feats=jnp.concatenate(
-            [state.col_feats, jnp.zeros((extra, state.col_feats.shape[1]), jnp.float32)]),
+        packed=jnp.concatenate([state.packed, _empty_rows(extra)]),
         n_points=state.n_points,
         input_pos=jnp.concatenate(
             [state.input_pos, jnp.zeros((icap_extra, 3), jnp.float32)]),
@@ -86,10 +112,9 @@ def add_points(state: CloudState, index: knn.GridIndex,
     Returns (new_state, n_accepted_locations). The caller must guarantee
     capacity for n_valid_rays * n_add new points (grow_cloud beforehand).
     """
-    cap = state.pos.shape[0]
+    cap = state.packed.shape[0]
     icap = state.input_pos.shape[0]
     b = rays_o.shape[0]
-    c_dim = state.geo_feats.shape[1]
 
     valid = ray_valid & (gt_depth > 0)
     pts_gt = rays_o + rays_d * gt_depth[:, None]
@@ -125,16 +150,18 @@ def add_points(state: CloudState, index: knn.GridIndex,
                        state.n_points + loc_off[:, None] * n_add
                        + jnp.arange(n_add)[None, :], cap)
     pt_dst = jnp.minimum(pt_dst, cap).reshape(-1)
-    pos = state.pos.at[pt_dst].set(new_pts.reshape(-1, 3), mode="drop")
 
     kg, kc = jax.random.split(key)
-    new_geo = 0.1 * jax.random.normal(kg, (b * n_add, c_dim), jnp.float32)
-    new_col = 0.1 * jax.random.normal(kc, (b * n_add, c_dim), jnp.float32)
-    geo_feats = state.geo_feats.at[pt_dst].set(new_geo, mode="drop")
-    col_feats = state.col_feats.at[pt_dst].set(new_col, mode="drop")
+    rows = jnp.zeros((b * n_add, PACK_W), jnp.float32)
+    rows = rows.at[:, GEO_SL].set(
+        0.1 * jax.random.normal(kg, (b * n_add, C_DIM), jnp.float32))
+    rows = rows.at[:, COL_SL].set(
+        0.1 * jax.random.normal(kc, (b * n_add, C_DIM), jnp.float32))
+    rows = rows.at[:, POS_SL].set(new_pts.reshape(-1, 3))
+    packed = state.packed.at[pt_dst].set(rows, mode="drop")
 
     new_state = CloudState(
-        pos=pos, geo_feats=geo_feats, col_feats=col_feats,
+        packed=packed,
         n_points=state.n_points + n_acc * n_add,
         input_pos=input_pos, input_rgb=input_rgb,
         n_inputs=state.n_inputs + n_acc)

@@ -63,7 +63,7 @@ def make_render_config(cfg: Dict[str, Any], sigmoid_coef: float) -> RenderConfig
     )
 
 
-def build_z_vals(rc: RenderConfig, index: knn.GridIndex, cloud_pos: jnp.ndarray,
+def build_z_vals(rc: RenderConfig, index: knn.GridIndex,
                  rays_o, rays_d, gt_depth, r_query, ray_valid):
     """Per-ray sample depths + near-cloud mask for depth-free rays.
 
@@ -95,13 +95,17 @@ def build_z_vals(rc: RenderConfig, index: knn.GridIndex, cloud_pos: jnp.ndarray,
     return z_vals, near_pcl_ok
 
 
-def render_rays(params: Dict[str, Any], geo_feats, col_feats,
-                cloud_pos, n_points, index: knn.GridIndex,
+def render_rays(params: Dict[str, Any], packed, n_points,
+                index: knn.GridIndex,
                 rays_o, rays_d, gt_depth, r_query, ray_valid,
                 key, rc: RenderConfig, stage_color: bool,
                 is_tracker: bool = False, exposure_feat=None,
                 apply_sigmoid_color: bool = True):
     """Render a ray batch.
+
+    ``packed`` is the cloud's (CAP, 72) geo|col|pos array (pointcloud.PACK_W
+    layout): all per-neighbor state comes from ONE row gather — TPU gathers
+    are row-count bound, so one 72-wide fetch beats three narrow ones ~2x.
 
     Returns (depth (R,), uncertainty (R,), color (R,3), valid_ray_mask (R,)).
     When ``is_tracker``, neighbor distances are recomputed differentiably from
@@ -110,8 +114,9 @@ def render_rays(params: Dict[str, Any], geo_feats, col_feats,
     """
     r = rays_o.shape[0]
     ns = rc.n_surface
+    c_dim = pc.C_DIM
 
-    z_vals, near_pcl_ok = build_z_vals(rc, index, cloud_pos, rays_o, rays_d,
+    z_vals, near_pcl_ok = build_z_vals(rc, index, rays_o, rays_d,
                                        gt_depth, r_query, ray_valid)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     p = pts.reshape(-1, 3)                                   # (R*ns, 3)
@@ -122,31 +127,30 @@ def render_rays(params: Dict[str, Any], geo_feats, col_feats,
     counts = knn.neighbor_count(dists, valid, r_query_pts)
     has_neighbors = counts > rc.min_nn_num - 1
 
+    nb = packed[idx]                                         # (N,K,PACK_W)
+    neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
+
     if is_tracker:
-        neigh_pos = jax.lax.stop_gradient(cloud_pos)[idx]    # (N,K,3)
         diff = neigh_pos - p[:, None, :]
         dists = jnp.sum(diff * diff, axis=-1)
 
     w = D.interpolation_weights(dists, valid, r_query_pts, rc.weighting)
 
     kg, kc = jax.random.split(key)
-    c_geo = D.interpolate_features(geo_feats, idx, w)
-    c_geo = D.random_fill_features(kg, c_geo, has_neighbors,
-                                   geo_feats.shape[1])
+    c_geo = jnp.sum(w[..., None] * nb[..., pc.GEO_SL], axis=1)
+    c_geo = D.random_fill_features(kg, c_geo, has_neighbors, c_dim)
     occ = D.geo_decoder_apply(params["geo"], p, c_geo)
 
     valid_ray = jnp.sum(has_neighbors.reshape(r, ns), axis=1) >= (ns // 2 + 1)
     valid_ray = valid_ray & near_pcl_ok
 
     if stage_color:
-        neigh_feats = col_feats[idx]                         # (N,K,c)
+        neigh_feats = nb[..., pc.COL_SL]                     # (N,K,c)
         if rc.encode_rel_pos_in_col:
-            neigh_pos = jax.lax.stop_gradient(cloud_pos)[idx]
             neigh_feats = D.encode_neighbor_feats(params["col"], neigh_pos, p,
                                                   neigh_feats)
         c_col = jnp.sum(w[..., None] * neigh_feats, axis=1)
-        c_col = D.random_fill_features(kc, c_col, has_neighbors,
-                                       col_feats.shape[1])
+        c_col = D.random_fill_features(kc, c_col, has_neighbors, c_dim)
         views_d = None
         if rc.use_view_direction:
             views_d = jnp.repeat(rays_d, ns, axis=0)
@@ -170,10 +174,10 @@ def render_rays(params: Dict[str, Any], geo_feats, col_feats,
 
 
 @functools.partial(jax.jit, static_argnames=("rc", "stage_color", "h", "w"))
-def _render_chunk(params, geo_feats, col_feats, cloud_pos, n_points, index,
+def _render_chunk(params, packed, n_points, index,
                   rays_o, rays_d, gt_depth, r_query, ray_valid, key, rc,
                   stage_color, h=0, w=0, exposure_feat=None):
-    return render_rays(params, geo_feats, col_feats, cloud_pos, n_points,
+    return render_rays(params, packed, n_points,
                        index, rays_o, rays_d, gt_depth, r_query, ray_valid,
                        key, rc, stage_color, is_tracker=False,
                        exposure_feat=exposure_feat)
@@ -210,7 +214,7 @@ def render_img(params, cloud: pc.CloudState, index, c2w, intrinsics,
     for i in range(0, n + pad, bs):
         sl = slice(i, i + bs)
         dep, unc, col, _ = _render_chunk(
-            params, cloud.geo_feats, cloud.col_feats, cloud.pos,
+            params, cloud.packed,
             cloud.n_points, index, rays_o_p[sl], rays_d_p[sl], gt_p[sl],
             rq_p[sl], valid_p[sl], jax.random.fold_in(key, i), rc,
             stage_color, exposure_feat=exposure_feat)

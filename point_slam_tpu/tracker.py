@@ -55,7 +55,7 @@ class TrackerStatic(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("ts", "rc"))
 def track_optimize(ts: TrackerStatic, rc: R.RenderConfig,
-                   params, geo_feats, col_feats, cloud_pos, n_points, index,
+                   params, packed, n_points, index,
                    gt_color, gt_depth, r_query_map, cam_init,
                    cand_idx, cand_ok, lr, n_iters, key,
                    exposure_feat=None):
@@ -91,7 +91,7 @@ def track_optimize(ts: TrackerStatic, rc: R.RenderConfig,
         valid &= inside
 
         depth, uncertainty, color, _ = R.render_rays(
-            params, geo_feats, col_feats, cloud_pos, n_points, index,
+            params, packed, n_points, index,
             rays_o, rays_d, dep, rq, valid, k_render, rc,
             stage_color=True, is_tracker=True, exposure_feat=exposure_feat)
 
@@ -230,8 +230,8 @@ class Tracker:
                if (exposure_feat is not None and self.rc.encode_exposure)
                else None)
         best_cam, final_cam, first_loss, best_loss = track_optimize(
-            self.ts, self.rc, mapper.params, mapper.cloud.geo_feats,
-            mapper.cloud.col_feats, mapper.cloud.pos, mapper.cloud.n_points,
+            self.ts, self.rc, mapper.params, mapper.cloud.packed,
+            mapper.cloud.n_points,
             mapper.index, color_dev, depth_dev, jnp.asarray(r_query_map),
             cam_init, cand_idx, cand_ok, jnp.asarray(self.lr, jnp.float32),
             jnp.asarray(self.iters), self._next_key(), exposure_feat=exp)

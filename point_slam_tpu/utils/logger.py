@@ -77,10 +77,12 @@ def restore_cloud_and_params(ckpt: Dict[str, np.ndarray], mapper) -> None:
         mapper.cloud = pc.grow_cloud(mapper.cloud, cap, mapper.ms.n_add)
     c = mapper.cloud
     ni = len(ckpt["input_pos"])
+    packed = c.packed
+    packed = packed.at[:n, pc.GEO_SL].set(jnp.asarray(ckpt["geo_feats"]))
+    packed = packed.at[:n, pc.COL_SL].set(jnp.asarray(ckpt["col_feats"]))
+    packed = packed.at[:n, pc.POS_SL].set(jnp.asarray(ckpt["cloud_pos"]))
     mapper.cloud = c._replace(
-        pos=c.pos.at[:n].set(jnp.asarray(ckpt["cloud_pos"])),
-        geo_feats=c.geo_feats.at[:n].set(jnp.asarray(ckpt["geo_feats"])),
-        col_feats=c.col_feats.at[:n].set(jnp.asarray(ckpt["col_feats"])),
+        packed=packed,
         n_points=jnp.asarray(n, jnp.int32),
         input_pos=c.input_pos.at[:ni].set(jnp.asarray(ckpt["input_pos"])),
         input_rgb=c.input_rgb.at[:ni].set(jnp.asarray(ckpt["input_rgb"])),

@@ -1,6 +1,6 @@
 """Calibrate the axon TPU: matmul peak, HBM bandwidth, loop overhead."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

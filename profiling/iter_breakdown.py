@@ -1,0 +1,187 @@
+"""Ablation ladder for the mapping iteration cost at Replica scale.
+
+Each rung adds one pipeline stage; chained fori_loop + host readback gives
+per-iteration cost (axon block_until_ready does not block).
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from point_slam_tpu.config import load_config
+from point_slam_tpu.datasets import get_dataset
+from point_slam_tpu.mapper import Mapper, _sample_window_rays, _losses
+from point_slam_tpu.models import decoders as D
+from point_slam_tpu.ops import adam, knn
+from point_slam_tpu import renderer as R
+import point_slam_tpu.pointcloud as pc  # noqa
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+cfg = load_config(os.path.join(HERE, "configs", "Synthetic", "room.yaml"),
+                  os.path.join(HERE, "configs", "point_slam.yaml"))
+cfg["synthetic"].update({"n_frames": 4, "angular_step": 0.01})
+cfg["cam"].update({"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0,
+                   "cx": 599.5, "cy": 339.5})
+cfg["mapping"].update({
+    "pixels": 5000, "pixels_adding": 6000,
+    "pixels_based_on_color_grad": 1000, "iters": 300, "iters_first": 60,
+    "geo_iter_first": 30, "mapping_window_size": 12, "keyframe_every": 5,
+})
+cfg["rendering"]["sample_near_pcl"] = False
+cfg["tpu"].update({"point_capacity_init": 1 << 19})
+cfg["verbose"] = False
+
+ds = get_dataset(cfg)
+rng = np.random.default_rng(0)
+params = D.init_decoders(jax.random.key(0), cfg)
+mapper = Mapper(cfg, params, 100, rng)
+_, color, depth, c2w = ds[0]
+
+# realistic 300k-point cloud
+CAP = mapper.cloud.pos.shape[0]
+NPTS = 300_000
+u = rng.uniform(-2.5, 2.5, (NPTS, 2)).astype(np.float32)
+pts = np.stack([u[:, 0], u[:, 1],
+                -2.0 + 0.3 * np.sin(u[:, 0] * 3)], -1).astype(np.float32)
+pos = np.full((CAP, 3), 1e6, np.float32)
+pos[:NPTS] = pts
+mapper.cloud = mapper.cloud._replace(
+    packed=mapper.cloud.packed.at[:, pc.POS_SL].set(jnp.asarray(pos)),
+    n_points=jnp.asarray(NPTS, jnp.int32))
+mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
+                              mapper.table_size, mapper.max_per_cell)
+
+ms, rc = mapper.ms, mapper.rc
+f = ms.f_max
+slots = jnp.zeros((f,), jnp.int32)
+cd, dd = jnp.asarray(color), jnp.asarray(depth)
+r_add, r_query, _, _ = mapper.radius_maps(cd)
+window = dict(color=mapper.ring.color[slots].at[0].set(cd),
+              depth=mapper.ring.depth[slots].at[0].set(dd),
+              r_query=mapper.ring.r_query[slots].at[0].set(r_query))
+w_c2w = mapper.ring.est_c2w[slots].at[0].set(jnp.asarray(c2w))
+w_exp = mapper.ring.exposure[slots]
+frustum = (jnp.arange(CAP) < mapper.cloud.n_points)
+cloud = mapper.cloud
+index = mapper.index
+n_frames = jnp.asarray(1)
+ppi = jnp.asarray(5000)
+
+N = 30
+
+
+BIG = {}  # name -> device array pytree, passed as jit args (closures are
+          # uploaded with the remote-compile request on axon: HTTP 413)
+
+def chain(name, step):
+    @jax.jit
+    def run(key, big):
+        def body(i, k):
+            return step(k, big)
+        return jax.lax.fori_loop(0, N, body, key)
+    k0 = jax.random.key(0)
+    t0 = time.time()
+    float(jax.random.key_data(run(k0, BIG))[0])
+    ct = time.time() - t0
+    t0 = time.time()
+    float(jax.random.key_data(run(k0, BIG))[0])
+    dt = (time.time() - t0) / N
+    print(f"{name}: {dt*1e3:7.2f} ms/iter (compile {ct:.0f}s)", flush=True)
+    return dt
+
+
+def mix(k, x):
+    return jax.random.fold_in(k, (jnp.sum(x) * 0.0).astype(jnp.int32) + 1)
+
+
+diff0 = {"col": mapper.params["col"], "packed": cloud.packed}
+opt0 = adam.init_state(diff0)
+BIG.update(window=window, w_c2w=w_c2w, w_exp=w_exp, cloud=cloud, index=index,
+           params=mapper.params, frustum=frustum, diff0=diff0, opt0=opt0)
+
+
+# rung 1: ray sampling only
+def s_sample(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    return mix(k, rays["rays_o"])
+
+# rung 2: + kNN over the ray samples
+def s_knn(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    z, _ = R.build_z_vals(rc, b["index"], rays["rays_o"],
+                          rays["rays_d"], rays["gt_depth"], rays["r_query"],
+                          rays["ray_ok"])
+    p = (rays["rays_o"][:, None, :] + rays["rays_d"][:, None, :]
+         * z[..., None]).reshape(-1, 3)
+    d, i, v = knn.grid_knn(b["index"], p, k=rc.nn_num)
+    return mix(k, jnp.where(jnp.isfinite(d), d, 0.0))
+
+# rung 3: + full geometry-stage forward loss
+def s_geo_fwd(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    loss, _ = _losses(ms, rc, b["params"], b["cloud"].packed, b["w_exp"],
+                      b["cloud"].n_points, b["index"], rays, k,
+                      stage_color=False)
+    return mix(k, loss)
+
+# rung 4: + color-stage forward loss
+def s_col_fwd(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    loss, _ = _losses(ms, rc, b["params"], b["cloud"].packed, b["w_exp"],
+                      b["cloud"].n_points, b["index"], rays, k,
+                      stage_color=True)
+    return mix(k, loss)
+
+
+def make_grad(stage_color):
+    def loss_fn(diff, b, rays, kk):
+        p = {"col": diff["col"], "geo": b["params"]["geo"]}
+        return _losses(ms, rc, p, diff["packed"],
+                       b["w_exp"], b["cloud"].n_points,
+                       b["index"], rays, kk, stage_color=stage_color)
+    return jax.grad(lambda d, b, r, kk: loss_fn(d, b, r, kk)[0])
+
+grad_geo = make_grad(False)
+grad_col = make_grad(True)
+
+# rung 5: geometry grad
+def s_geo_grad(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    g = grad_geo(b["diff0"], b, rays, k)
+    return mix(k, g["packed"][0])
+
+# rung 6: color grad
+def s_col_grad(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    g = grad_col(b["diff0"], b, rays, k)
+    return mix(k, g["packed"][0])
+
+# rung 7: color grad + frustum mask + adam on all groups
+def s_full(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    g = grad_col(b["diff0"], b, rays, k)
+    g["packed"] = g["packed"] * b["frustum"][:, None]
+    acc = 0.0
+    for name in ("col", "packed"):
+        p, st = adam.update(b["diff0"][name], g[name],
+                            {"m": b["opt0"]["m"][name],
+                             "v": b["opt0"]["v"][name]},
+                            jnp.asarray(1.0), jnp.asarray(0.01))
+        acc = acc + jax.tree_util.tree_leaves(p)[0].ravel()[0]
+    return mix(k, acc)
+
+
+t1 = chain("1 sample rays        ", s_sample)
+t2 = chain("2 + kNN              ", s_knn)
+t3 = chain("3 + geo fwd loss     ", s_geo_fwd)
+t4 = chain("4 + col fwd loss     ", s_col_fwd)
+t5 = chain("5 geo grad           ", s_geo_grad)
+t6 = chain("6 col grad           ", s_col_grad)
+t7 = chain("7 col grad+mask+adam ", s_full)
+print(f"\nkNN cost: {(t2-t1)*1e3:.1f} ms | geo-MLP fwd: {(t3-t2)*1e3:.1f} | "
+      f"col extras fwd: {(t4-t3)*1e3:.1f} | geo bwd: {(t5-t3)*1e3:.1f} | "
+      f"col bwd: {(t6-t4)*1e3:.1f} | adam: {(t7-t6)*1e3:.1f}")

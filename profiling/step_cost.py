@@ -5,7 +5,7 @@ per-iteration cost from fixed overhead. Sync via host readback (axon's
 block_until_ready does not wait).
 """
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -16,7 +16,7 @@ from point_slam_tpu.mapper import Mapper, map_optimize
 from point_slam_tpu.tracker import Tracker
 from point_slam_tpu.models import decoders as D
 
-HERE = os.path.dirname(os.path.abspath(__file__))
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 cfg = load_config(os.path.join(HERE, "configs", "Synthetic", "room.yaml"),
                   os.path.join(HERE, "configs", "point_slam.yaml"))

@@ -48,7 +48,7 @@ def test_render_rays_shapes_and_masks():
     gt = gt.at[5].set(0.0)  # one depth-free ray
     rq = jnp.full(32, 0.16)
     dep, unc, col, valid = R.render_rays(
-        params, state.geo_feats, state.col_feats, state.pos, state.n_points,
+        params, state.packed, state.n_points,
         index, o, d, gt, rq, jnp.ones(32, bool), jax.random.key(3), rc,
         stage_color=True)
     dep, unc, col, valid = map(np.asarray, (dep, unc, col, valid))
@@ -68,7 +68,7 @@ def test_render_geometry_stage_no_color():
     o, d = make_rays(16)
     gt = jnp.full(16, 2.0)
     dep, unc, col, valid = R.render_rays(
-        params, state.geo_feats, state.col_feats, state.pos, state.n_points,
+        params, state.packed, state.n_points,
         index, o, d, gt, jnp.full(16, 0.16), jnp.ones(16, bool),
         jax.random.key(4), rc, stage_color=False)
     assert np.allclose(np.asarray(col), 0.0)
@@ -87,7 +87,7 @@ def test_tracker_gradients_flow_to_pose():
         c2w = camera.pose_matrix_from_tensor(ct)
         o, d = camera.rays_from_uv(ii, jj, c2w, 30.0, 30.0, 32.0, 24.0)
         dep, unc, col, valid = R.render_rays(
-            params, state.geo_feats, state.col_feats, state.pos,
+            params, state.packed,
             state.n_points, index, o, d, gt, jnp.full(64, 0.16),
             jnp.ones(64, bool), jax.random.key(6), rc,
             stage_color=True, is_tracker=True)
