@@ -290,12 +290,21 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
         lrs = jnp.where(stage_geo, lr_geo_stage, lr_color_stage)
         lr_packed = geo_cols * lrs[1] + col_cols * lrs[2]   # (PACK_W,) row
-        t = (it + 1).astype(jnp.float32)
+        # torch parity: Adam's step count is per param group, starting at the
+        # group's FIRST gradient (torch skips grad-None params). Color-path
+        # groups see their first gradient at the geometry->color switch, so
+        # their bias correction restarts there — without this, early color
+        # steps are ~1.35x larger (v under-corrected) and the color MLP can
+        # saturate irrecoverably on unlucky PRNG streams.
+        t_geo = (it + 1).astype(jnp.float32)
+        t_col = jnp.maximum(it - geo_iter_bound, 1).astype(jnp.float32)
+        t_packed = geo_cols * t_geo + col_cols * t_col \
+            + (1.0 - geo_cols - col_cols) * t_geo           # (PACK_W,) row
 
         new_diff = dict(diff)
         new_opt = dict(m=dict(opt["m"]), v=dict(opt["v"]))
 
-        def step_group(name, lr):
+        def step_group(name, lr, t):
             p, st = adam.update(
                 diff[name], grads[name],
                 {"m": opt["m"][name], "v": opt["v"][name]}, t, lr)
@@ -303,11 +312,11 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
             new_opt["m"][name] = st["m"]
             new_opt["v"][name] = st["v"]
 
-        step_group("col", lrs[0])
+        step_group("col", lrs[0], t_col)
         if not ms.fix_geo_decoder:
-            step_group("geo", lrs[0])
-        step_group("packed", lr_packed)
-        step_group("exposure", lr_exposure)
+            step_group("geo", lrs[0], t_geo)
+        step_group("packed", lr_packed, t_packed)
+        step_group("exposure", lr_exposure, t_col)
 
         geo_l, col_l, n_mask = aux
         stats = jnp.stack([geo_l, col_l, n_mask.astype(jnp.float32)])
@@ -615,6 +624,11 @@ class Mapper:
                     jnp.asarray(n_end), key,
                     it0=jnp.asarray(it, jnp.int32), opt_in=opt_state)
                 it = n_end
+                if self.cfg["verbose"]:
+                    s = np.asarray(stats_dev)
+                    print(f"    [map chunk] it {it}/{n_iters} "
+                          f"geo {s[0]:.3f} col {s[1]:.3f} n {s[2]:.0f}",
+                          flush=True)
             self.params = params
 
             self.cloud = self.cloud._replace(packed=packed)

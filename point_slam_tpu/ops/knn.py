@@ -86,9 +86,13 @@ def build_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
     dst = jnp.where((rank < c) & (hs < table_size), dst, table_size * c)
 
     pos_sorted = points[order]
+    # ids ride as float-VALUED integers (exact for ids < 2^24; capacity is
+    # capped at 2^22). Bitcasting int32 bits into f32 is NOT safe here: small
+    # ids are denormals and XLA flushes denormals to zero in ops like
+    # concatenate.
     packed = jnp.concatenate(
         [pos_sorted.astype(jnp.float32),
-         jax.lax.bitcast_convert_type(order, jnp.float32)[:, None]], axis=-1)
+         order.astype(jnp.float32)[:, None]], axis=-1)
     flat = jnp.full((table_size * c, 4), jnp.inf, jnp.float32)
     flat = flat.at[dst].set(packed, mode="drop")
     return GridIndex(flat.reshape(table_size, c, 4),
@@ -144,10 +148,9 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
     # (Q, 27*C) int32 candidate-id tensor (saves two 27*C-wide HBM passes).
     win_h = jnp.take_along_axis(hs, pos // c, axis=1)        # (Q,k)
     flat_ids = index.table.reshape(table_size * c, 4)[:, 3]
-    idx = jax.lax.bitcast_convert_type(
-        flat_ids[win_h * c + (pos % c)], jnp.int32)
+    win_ids = flat_ids[win_h * c + (pos % c)]                # float-valued ids
     valid = jnp.isfinite(dists)
-    idx = jnp.where(valid, idx, 0)
+    idx = jnp.where(valid, win_ids, 0.0).astype(jnp.int32)
     return dists, idx, valid
 
 

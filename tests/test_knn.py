@@ -70,6 +70,18 @@ def test_grid_knn_matches_brute_within_radius():
                                        jnp.asarray(radius)))
     rc = in_radius.sum(1)
     np.testing.assert_array_equal(gc, rc)
+    # returned point IDS must be real neighbors: the distance recomputed from
+    # the id'd point must equal the reported distance (guards against id
+    # channel corruption, e.g. the denormal-flush bitcast bug)
+    gi = np.asarray(gi)
+    recomputed = ((queries[:, None, :] - pts[gi]) ** 2).sum(-1)
+    np.testing.assert_allclose(np.where(in_radius, recomputed, 0.0),
+                               np.where(in_radius, gd, 0.0),
+                               rtol=1e-4, atol=1e-5)
+    # and the in-radius id SET matches the oracle's
+    for r_ in range(0, q, 17):
+        n_in = int(rc[r_])
+        assert set(gi[r_, :n_in]) == set(ri[r_, :n_in]), r_
 
 
 def test_grid_knn_per_query_radius_counts():
