@@ -89,7 +89,9 @@ def main():
             t_measure_start = time.time()
         color, depth, gt = slam._frame(idx)
         slam.gt_c2w_list[idx] = gt
-        r_add, r_query, _, _ = slam.mapper.radius_maps(jnp.asarray(color))
+        color = jax.device_put(jnp.asarray(color))
+        depth = jax.device_put(jnp.asarray(depth))
+        r_add, r_query, _, _ = slam.mapper.radius_maps(color)
         t0 = time.time()
         res = slam.tracker.track_frame(idx, color, depth, gt,
                                        slam.estimate_c2w_list, slam.mapper,

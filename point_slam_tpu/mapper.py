@@ -522,7 +522,7 @@ class Mapper:
                 fix_interval=cfg["pointcloud"]["fix_interval_when_add_along_ray"])
             self.index = pc.build_index(self.cloud, self.cell_size,
                                         self.table_size, self.max_per_cell)
-            n_acc_total += int(n1)
+            n2 = jnp.zeros((), jnp.int32)
 
             if mp["pixels_based_on_color_grad"] > 0 and cand_idx is not None:
                 o, d, dep, col, ra, valid = sample_grad_rays(
@@ -536,8 +536,10 @@ class Mapper:
                         "fix_interval_when_add_along_ray"])
                 self.index = pc.build_index(self.cloud, self.cell_size,
                                             self.table_size, self.max_per_cell)
-                n_acc_total += int(n2)
-            self.n_points_host = int(self.cloud.n_points)
+            # one host fetch for all densification counters (tunnel RTTs)
+            nvals = np.asarray(jnp.stack([n1, n2, self.cloud.n_points]))
+            n_acc_total = int(nvals[0] + nvals[1])
+            self.n_points_host = int(nvals[2])
 
         # ---- frustum feature selection (gradient mask)
         if mp["frustum_feature_selection"] and not color_refine:

@@ -93,34 +93,51 @@ class PointSLAM:
         self.timing["io"] += time.perf_counter() - t0
         return color, depth, c2w
 
-    def run(self, stop: Optional[int] = None,
-            progress: bool = True) -> Dict[str, Any]:
+    def run(self, stop: Optional[int] = None, progress: bool = True,
+            resume_from: Optional[str] = None) -> Dict[str, Any]:
         cfg = self.cfg
         n = self.n_img if stop is None else min(stop + 1, self.n_img)
         every = cfg["mapping"]["every_frame"]
         lazy = cfg["mapping"]["lazy_start"] or 0
         color_refine = cfg["mapping"]["color_refine"]
+        ckpt_freq = cfg["mapping"].get("ckpt_freq") or 0
 
-        # frame 0: mapped unconditionally with the GT pose (Mapper.py:660-677)
-        color, depth, gt_c2w = self._frame(0)
-        self.estimate_c2w_list[0] = gt_c2w
-        self.gt_c2w_list[0] = gt_c2w
-        t0 = time.perf_counter()
-        st = self.mapper.map_frame(0, color, depth, gt_c2w, gt_c2w)
-        self.timing["map"] += time.perf_counter() - t0
-        if self.verbose:
-            print(f"[map] frame 0: +{st['n_added']} locations, "
-                  f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}")
+        start = 1
+        if resume_from:
+            from point_slam_tpu.utils.logger import load_checkpoint, \
+                restore_slam
+            start = restore_slam(self, load_checkpoint(resume_from))
+            if self.verbose:
+                print(f"[resume] from {resume_from}: continuing at frame "
+                      f"{start} with {self.mapper.n_points_host} points")
+        else:
+            # frame 0: mapped unconditionally with the GT pose
+            # (Mapper.py:660-677)
+            color, depth, gt_c2w = self._frame(0)
+            self.estimate_c2w_list[0] = gt_c2w
+            self.gt_c2w_list[0] = gt_c2w
+            t0 = time.perf_counter()
+            st = self.mapper.map_frame(0, color, depth, gt_c2w, gt_c2w)
+            self.timing["map"] += time.perf_counter() - t0
+            if self.verbose:
+                print(f"[map] frame 0: +{st['n_added']} locations, "
+                      f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}")
 
         from point_slam_tpu.utils.prefetch import FramePrefetcher
-        prefetcher = FramePrefetcher(self.dataset, depth=2, start=1, stop=n)
+        prefetcher = FramePrefetcher(self.dataset, depth=2, start=start,
+                                     stop=n)
         for frame_idx, color, depth, gt_c2w in prefetcher:
             idx = int(frame_idx)
             self.gt_c2w_list[idx] = gt_c2w
             ef = 1 if (lazy and idx <= lazy) else every
 
+            # upload the frame ONCE; tracker/mapper jnp.asarray calls are
+            # then no-ops (a 680x1200 RGB-D pair is ~13 MB over the tunnel)
+            color = jax.device_put(jnp.asarray(color))
+            depth = jax.device_put(jnp.asarray(depth))
+
             # dynamic radius maps shared by tracker & mapper this frame
-            r_add, r_query, _, _ = self.mapper.radius_maps(jnp.asarray(color))
+            r_add, r_query, _, _ = self.mapper.radius_maps(color)
 
             t0 = time.perf_counter()
             res = self.tracker.track_frame(
@@ -155,6 +172,10 @@ class PointSLAM:
                                  depth, color,
                                  save_rendered_image=cfg["mapping"][
                                      "save_rendered_image"])
+                if ckpt_freq and idx % ckpt_freq == 0 and idx != n - 1:
+                    from point_slam_tpu.utils.logger import save_checkpoint
+                    save_checkpoint(os.path.join(
+                        self.output, "ckpts", f"{idx:05d}.npz"), self, idx)
             elif res.get("tracked"):
                 self.track_vis.vis(idx, self.tracker.iters - 1,
                                    self.tracker.iters, self.mapper,

@@ -236,8 +236,11 @@ class Tracker:
             cam_init, cand_idx, cand_ok, jnp.asarray(self.lr, jnp.float32),
             jnp.asarray(self.iters), self._next_key(), exposure_feat=exp)
 
-        rt = np.asarray(camera.pose_matrix_from_tensor(best_cam))
+        # one host fetch for everything (each np.asarray is a tunnel RTT)
+        rt_flat = camera.pose_matrix_from_tensor(best_cam).reshape(-1)
+        vals = np.asarray(jnp.concatenate(
+            [rt_flat, first_loss[None], best_loss[None]]))
         c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, :4] = rt
+        c2w[:3, :4] = vals[:12].reshape(3, 4)
         return {"c2w": c2w, "tracked": True,
-                "first_loss": float(first_loss), "best_loss": float(best_loss)}
+                "first_loss": float(vals[12]), "best_loss": float(vals[13])}

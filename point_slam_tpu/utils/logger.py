@@ -38,7 +38,7 @@ def _unflatten_params(template, data: Dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save_checkpoint(path: str, slam) -> None:
+def save_checkpoint(path: str, slam, idx: int | None = None) -> None:
     m = slam.mapper
     n = int(m.cloud.n_points)
     ni = int(m.cloud.n_inputs)
@@ -54,7 +54,9 @@ def save_checkpoint(path: str, slam) -> None:
         "keyframe_list": np.asarray(m.keyframe_list, np.int64),
         "exposure_feat_all": (np.stack(m.exposure_feat_all)
                               if m.exposure_feat_all else np.zeros((0,))),
-        "idx": np.asarray(len(slam.estimate_c2w_list) - 1),
+        "exposure_feat": np.asarray(m.exposure_feat),
+        "idx": np.asarray(len(slam.estimate_c2w_list) - 1
+                          if idx is None else idx),
     }
     payload.update(_flatten_params(slam.mapper.params))
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -93,3 +95,37 @@ def restore_cloud_and_params(ckpt: Dict[str, np.ndarray], mapper) -> None:
                                   mapper.table_size, mapper.max_per_cell)
     mapper.params = _unflatten_params(mapper.params, ckpt)
     mapper.keyframe_list = [int(i) for i in ckpt["keyframe_list"]]
+
+
+def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
+    """True mid-run resume (no reference equivalent, SURVEY §5): restore the
+    cloud, decoders, pose lists, and rebuild the device keyframe ring from
+    the dataset. Returns the next frame index to process."""
+    from point_slam_tpu.mapper import ring_set
+
+    restore_cloud_and_params(ckpt, slam.mapper)
+    idx = int(ckpt["idx"])
+    n = min(len(ckpt["estimate_c2w_list"]), slam.n_img)
+    slam.estimate_c2w_list[:n] = ckpt["estimate_c2w_list"][:n]
+    slam.gt_c2w_list[:n] = ckpt["gt_c2w_list"][:n]
+    if "exposure_feat" in ckpt and ckpt["exposure_feat"].size:
+        slam.mapper.exposure_feat = ckpt["exposure_feat"].astype(np.float32)
+    if ckpt.get("exposure_feat_all") is not None and \
+            ckpt["exposure_feat_all"].size:
+        slam.mapper.exposure_feat_all = list(
+            ckpt["exposure_feat_all"].astype(np.float32))
+
+    # rebuild the keyframe ring from the dataset + restored trajectory
+    m = slam.mapper
+    for slot, kf_idx in enumerate(m.keyframe_list):
+        if slot >= m.ring.color.shape[0]:
+            break
+        _, color, depth, _ = slam.dataset[kf_idx]
+        color = jnp.asarray(color)
+        _, r_query, _, _ = m.radius_maps(color)
+        m.ring = ring_set(
+            m.ring, jnp.asarray(slot), color, jnp.asarray(depth), r_query,
+            jnp.asarray(slam.estimate_c2w_list[kf_idx]),
+            jnp.asarray(slam.gt_c2w_list[kf_idx]),
+            jnp.asarray(m.exposure_feat))
+    return idx + 1

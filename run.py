@@ -27,6 +27,9 @@ def main():
                         default=None, help="stop after n frames")
     parser.add_argument("--no_eval", action="store_true",
                         help="skip the end-of-run evaluation pipeline")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in the "
+                             "output dir (true mid-run resume)")
     args = parser.parse_args()
 
     import jax
@@ -49,18 +52,27 @@ def main():
     out = cfg["data"]["output"]
     if args.output:
         out = args.output
-    if args.stop is None:
+    if args.stop is None and not args.resume:
         out = os.path.join(out, datetime.now().strftime("%Y%m%d_%H%M%S"))
 
+    resume_from = None
+    if args.resume:
+        import glob
+        ckpts = sorted(glob.glob(os.path.join(out, "ckpts", "*.npz")))
+        if not ckpts:
+            raise SystemExit(f"--resume: no checkpoint found under "
+                             f"{os.path.join(out, 'ckpts')}")
+        resume_from = ckpts[-1]
+
     slam = PointSLAM(cfg, input_folder=args.input_folder, output=out)
-    summary = slam.run(stop=args.stop)
+    summary = slam.run(stop=args.stop, resume_from=resume_from)
     print(f"finished {summary['n_frames']} frames, "
           f"{summary['n_points']} neural points, timing {summary['timing']}")
 
     from point_slam_tpu.utils.logger import save_checkpoint
     ckpt_path = os.path.join(out, "ckpts",
                              f"{summary['n_frames'] - 1:05d}.npz")
-    save_checkpoint(ckpt_path, slam)
+    save_checkpoint(ckpt_path, slam, idx=summary["n_frames"] - 1)
     print(f"checkpoint saved to {ckpt_path}")
 
     if not args.no_eval:

@@ -66,6 +66,30 @@ def test_tracking_stays_on_trajectory(slam_run):
         np.testing.assert_allclose(rrt, np.eye(3), atol=1e-3)
 
 
+def test_midrun_resume(tmp_path):
+    """Run 0..6, checkpoint, resume a FRESH process-state at frame 7, and
+    check the resumed run completes with a sane trajectory (no reference
+    equivalent — run.py --resume is new, SURVEY §5)."""
+    from point_slam_tpu.utils.logger import save_checkpoint
+    cfg = e2e_cfg(tmp_path, n=12)
+    slam1 = PointSLAM(cfg)
+    slam1.run(stop=6)
+    ck = str(tmp_path / "out" / "ckpts" / "00006.npz")
+    save_checkpoint(ck, slam1, idx=6)
+
+    cfg2 = e2e_cfg(tmp_path, n=12)
+    cfg2["data"]["output"] = str(tmp_path / "out2")
+    slam2 = PointSLAM(cfg2)
+    summary = slam2.run(resume_from=ck)
+    assert summary["n_frames"] == 12
+    assert slam2.mapper.n_points_host >= slam1.mapper.n_points_host
+    np.testing.assert_allclose(summary["estimate_c2w_list"][:7],
+                               slam1.estimate_c2w_list[:7], atol=1e-6)
+    ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
+                       align=False)
+    assert ate["absolute_translational_error.rmse"] < 0.10, ate
+
+
 def test_checkpoint_roundtrip(slam_run, tmp_path):
     from point_slam_tpu.utils.logger import (load_checkpoint,
                                              restore_cloud_and_params,
