@@ -63,8 +63,17 @@ class PointSLAM:
 
         rng = np.random.default_rng(cfg["setup_seed"])
         params = D.init_decoders(jax.random.key(cfg["setup_seed"]), cfg)
-        params = D.load_pretrained_geo(
-            params, cfg.get("pretrained_decoders", {}).get("middle_fine", ""))
+        pretrained = cfg.get("pretrained_decoders", {}).get("middle_fine", "")
+        params = D.load_pretrained_geo(params, pretrained)
+        if cfg["mapping"].get("fix_geo_decoder") and not (
+                pretrained and os.path.exists(pretrained)):
+            # the reference freezes a PRETRAINED NICE-SLAM middle decoder
+            # (src/Point_SLAM.py:143-164); freezing a random one would pin
+            # geometry to feature-only fitting, so train it instead
+            cfg["mapping"]["fix_geo_decoder"] = False
+            if self.verbose:
+                print("[init] no pretrained geo decoder found -> training it "
+                      "(reference freezes a pretrained one)")
 
         self.mapper = Mapper(cfg, params, self.n_img, rng)
         self.tracker = Tracker(cfg, self.n_img)
