@@ -90,6 +90,14 @@ def pose_matrix_from_tensor(inputs: jnp.ndarray) -> jnp.ndarray:
     return rt[0] if single else rt
 
 
+def pose_matrix_from_tensor_np(cam: np.ndarray) -> np.ndarray:
+    """(w,x,y,z,tx,ty,tz) -> 4x4 pose matrix, host-side."""
+    rt = np.asarray(pose_matrix_from_tensor(jnp.asarray(cam)))
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :4] = rt
+    return out
+
+
 def rotation_to_quat_np(rot: np.ndarray) -> np.ndarray:
     """Single rotation matrix -> (x,y,z,w) quaternion, scipy-compatible branch.
 

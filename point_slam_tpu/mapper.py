@@ -57,6 +57,7 @@ class MapperStatic(NamedTuple):
     grad_top: int         # top-k pool for color-grad selection
     max_iters: int        # safety bound for the while_loop
     dp: int = 1           # data-parallel devices (rays shard over 'dp')
+    ba: bool = False      # bundle adjustment: optimize window cameras
 
 
 class KeyframeRing(NamedTuple):
@@ -144,11 +145,13 @@ def prepare_frame(color, r_add_max: float, r_add_min: float,
 # -------------------------------------------------------------- the main jit
 
 def _sample_window_rays(ms: MapperStatic, key, window, n_frames,
-                        pixs_per_image, c2w_all):
+                        pixs_per_image):
     """One iteration's ray batch from the keyframe window (device).
 
     window: dict with color (F,H,W,3), depth, r_query.
-    Returns dict of (R,) arrays + per-ray slot + validity.
+    Returns dict of (R,) arrays + per-ray slot + camera-space dirs +
+    validity. World rays are assembled later by `_rays_world` from the
+    (possibly BA-optimized, differentiable) per-slot poses.
     """
     rmax = ms.r_max
     slot = jnp.arange(rmax) // jnp.maximum(pixs_per_image, 1)
@@ -160,18 +163,15 @@ def _sample_window_rays(ms: MapperStatic, key, window, n_frames,
     col = window["color"][slot, j, i]
     dep = window["depth"][slot, j, i]
     rq = window["r_query"][slot, j, i]
-    c2w = c2w_all[slot]                                     # (R,4,4)
     dirs = jnp.stack([(i.astype(jnp.float32) - ms.cx) / ms.fx,
                       -(j.astype(jnp.float32) - ms.cy) / ms.fy,
                       -jnp.ones((rmax,), jnp.float32)], -1)
-    rays_d = jnp.einsum("rkl,rl->rk", c2w[:, :3, :3], dirs)
-    rays_o = c2w[:, :3, 3]
     ray_ok &= dep > 0                                       # depth_filter
     med = image.masked_median(dep, ray_ok)
     mx = image.masked_max(dep, ray_ok)
     inside = dep <= jnp.minimum(10.0 * med, 1.2 * mx)       # Mapper.py:507-509
     ray_ok &= inside
-    rays = dict(rays_o=rays_o, rays_d=rays_d, gt_depth=dep, gt_color=col,
+    rays = dict(dirs_cam=dirs, gt_depth=dep, gt_color=col,
                 r_query=rq, slot=slot, ray_ok=ray_ok)
     if ms.dp > 1:
         from point_slam_tpu.parallel import mesh as pmesh
@@ -179,16 +179,28 @@ def _sample_window_rays(ms: MapperStatic, key, window, n_frames,
     return rays
 
 
+def _rays_world(rays, c2w_all):
+    """World-space ray origins/directions from per-slot poses (R,4,4)/(F,4,4).
+    Differentiable in c2w_all (the BA path optimizes window cameras)."""
+    c2w = c2w_all[rays["slot"]]
+    rays_d = jnp.einsum("rkl,rl->rk", c2w[:, :3, :3], rays["dirs_cam"])
+    rays_o = c2w[:, :3, 3]
+    return rays_o, rays_d
+
+
 def _losses(ms: MapperStatic, rc: R.RenderConfig, params, packed,
-            window_exposure, n_points, index, rays, key,
-            stage_color: bool, ba_c2w=None):
+            window_exposure, n_points, index, rays, c2w_all, key,
+            stage_color: bool):
     """Masked geometry(+color) losses for one ray batch. Returns
-    (loss, (geo_loss, color_loss, n_mask))."""
+    (loss, (geo_loss, color_loss, n_mask)). With BA, c2w_all carries the
+    differentiable window poses; is_tracker makes neighbor distances
+    differentiable so pose gradients flow (src/Mapper.py:515-521)."""
+    rays_o, rays_d = _rays_world(rays, c2w_all)
     depth, uncertainty, color, valid_ray = R.render_rays(
         params, packed, n_points, index,
-        rays["rays_o"], rays["rays_d"], rays["gt_depth"], rays["r_query"],
+        rays_o, rays_d, rays["gt_depth"], rays["r_query"],
         rays["ray_ok"], key, rc, stage_color=stage_color,
-        is_tracker=False, apply_sigmoid_color=not ms.encode_exposure)
+        is_tracker=ms.ba, apply_sigmoid_color=not ms.encode_exposure)
 
     mask = (rays["gt_depth"] > 0) & valid_ray & rays["ray_ok"]
     mask &= ~jnp.isnan(depth)
@@ -214,7 +226,9 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
                  window_exposure, n_frames, pixs_per_image, cur_slot,
                  frustum, lr_geo_stage, lr_color_stage, lr_exposure,
                  fix_color, geo_iter_bound, n_iters, key,
-                 it0=None, opt_in=None):
+                 it0=None, opt_in=None,
+                 cams0=None, ba_mask=None, lr_ba=None,
+                 ba_lo=None, ba_hi=None):
     """The per-frame mapping optimization: while_loop over joint iterations.
 
     The cloud state rides as ONE packed (CAP, 72) leaf (geo|col|pos columns,
@@ -242,6 +256,8 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
              "exposure": window_exposure}
     if not ms.fix_geo_decoder:
         diff0["geo"] = params["geo"]
+    if ms.ba:
+        diff0["cams"] = cams0                              # (F, 7) quat+trans
     opt0 = adam.init_state(diff0) if opt_in is None else opt_in
     if it0 is None:
         it0 = jnp.zeros((), jnp.int32)
@@ -251,11 +267,19 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
              "geo": diff.get("geo", params["geo"])}
         return p
 
+    def window_poses(diff):
+        if not ms.ba:
+            return window_c2w
+        rt = jax.vmap(camera.pose_matrix_from_tensor)(diff["cams"])  # (F,3,4)
+        bottom = jnp.tile(jnp.asarray([[0., 0., 0., 1.]], jnp.float32),
+                          (rt.shape[0], 1, 1))
+        return jnp.concatenate([rt, bottom], axis=1)
+
     def loss_fn(diff, rays, it_key, stage_color):
         p = build_params(diff)
         return _losses(ms, rc, p, diff["packed"],
                        diff["exposure"], n_points, index, rays,
-                       it_key, stage_color)
+                       window_poses(diff), it_key, stage_color)
 
     grad_geo = jax.value_and_grad(
         lambda d, r, k: loss_fn(d, r, k, False), has_aux=True)
@@ -272,7 +296,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
         it, diff, opt, key, _stats = carry
         key, k_rays, k_render = jax.random.split(key, 3)
         rays = _sample_window_rays(ms, k_rays, window, n_frames,
-                                   pixs_per_image, window_c2w)
+                                   pixs_per_image)
         stage_geo = it <= geo_iter_bound
         (loss, aux), grads = jax.lax.cond(
             stage_geo,
@@ -287,6 +311,10 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
         grads["exposure"] = grads["exposure"] * exp_onehot
         grads["col"] = jax.tree_util.tree_map(lambda g: g * fix_color,
                                               grads["col"])
+        if ms.ba:
+            # the oldest keyframe stays fixed to anchor the map
+            # (src/Mapper.py:379-380); padding slots are masked too
+            grads["cams"] = grads["cams"] * ba_mask[:, None]
 
         lrs = jnp.where(stage_geo, lr_geo_stage, lr_color_stage)
         lr_packed = geo_cols * lrs[1] + col_cols * lrs[2]   # (PACK_W,) row
@@ -317,6 +345,11 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
             step_group("geo", lrs[0], t_geo)
         step_group("packed", lr_packed, t_packed)
         step_group("exposure", lr_exposure, t_col)
+        if ms.ba:
+            # BA cams move only in iters [(ratio+0.2)N, (ratio+0.3)N]
+            # (src/Mapper.py:434-439)
+            lr_cam = jnp.where((it >= ba_lo) & (it <= ba_hi), lr_ba, 0.0)
+            step_group("cams", lr_cam, t_geo)
 
         geo_l, col_l, n_mask = aux
         stats = jnp.stack([geo_l, col_l, n_mask.astype(jnp.float32)])
@@ -330,7 +363,8 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
     out_params = build_params(diff)
     return (out_params, diff["packed"],
-            diff["exposure"], stats, opt, key_out)
+            diff["exposure"], stats, opt, key_out,
+            diff.get("cams"))
 
 
 # ------------------------------------------------------------------ densify
@@ -603,6 +637,30 @@ class Mapper:
                 jnp.asarray(self.exposure_feat))
             pixs_per_image = self.ms.r_max // n_frames
 
+            # ---- bundle adjustment (src/Mapper.py:375-397,727-737): with
+            # >4 keyframes, window cameras become quat+trans leaves; the
+            # oldest keyframe stays fixed to anchor the map
+            ba_on = bool(mp["BA"]) and len(self.keyframe_list) > 4
+            if ba_on != self.ms.ba:
+                self.ms = self.ms._replace(ba=ba_on)
+            ba_kwargs = {}
+            if ba_on:
+                poses_host = np.asarray(w_c2w[:n_frames])
+                cams_np = np.stack(
+                    [camera.tensor_from_pose_matrix(p) for p in poses_host]
+                    + [np.zeros(7, np.float32)] * (f - n_frames))
+                mask = np.zeros((f,), np.float32)
+                mask[:n_frames] = 1.0
+                mask[int(np.argmin([self.keyframe_list[s] for s in sel]))] = 0.0
+                ba_kwargs = dict(
+                    cams0=jnp.asarray(cams_np, jnp.float32),
+                    ba_mask=jnp.asarray(mask),
+                    lr_ba=jnp.asarray(mp["BA_cam_lr"], jnp.float32),
+                    ba_lo=jnp.asarray(
+                        int(n_iters * (mp["geo_iter_ratio"] + 0.2))),
+                    ba_hi=jnp.asarray(
+                        int(n_iters * (mp["geo_iter_ratio"] + 0.3))))
+
             # chunked launches: a single device program must stay well under
             # the runtime watchdog (~1 min); iteration semantics are unchanged
             chunk = max(int(self.cfg["tpu"].get("max_iters_per_launch", 200)), 1)
@@ -613,10 +671,11 @@ class Mapper:
             packed = self.cloud.packed
             w_exp_out = w_exp
             stats_dev = jnp.zeros(3)
+            cams_out = None
             while it < n_iters:
                 n_end = min(it + chunk, n_iters)
                 (params, packed, w_exp_out, stats_dev,
-                 opt_state, key) = map_optimize(
+                 opt_state, key, cams_out) = map_optimize(
                     self.ms, self.rc, params, packed,
                     self.cloud.n_points,
                     self.index, w_color, w_depth, w_rq, w_c2w, w_exp_out,
@@ -624,7 +683,10 @@ class Mapper:
                     jnp.asarray(len(sel)), frustum, lr_geo, lr_col,
                     jnp.asarray(0.001), fix_color, jnp.asarray(geo_bound),
                     jnp.asarray(n_end), key,
-                    it0=jnp.asarray(it, jnp.int32), opt_in=opt_state)
+                    it0=jnp.asarray(it, jnp.int32), opt_in=opt_state,
+                    **ba_kwargs)
+                if ba_on:
+                    ba_kwargs["cams0"] = cams_out
                 it = n_end
                 if self.cfg["verbose"]:
                     s = np.asarray(stats_dev)
@@ -637,6 +699,19 @@ class Mapper:
             if self.ms.encode_exposure:
                 self.exposure_feat = np.asarray(w_exp_out[len(sel)])
             stats = np.asarray(stats_dev)
+
+            if ba_on and cams_out is not None:
+                # write optimized keyframe poses back to the keyframe store
+                # and adopt the refined current pose (src/Mapper.py:615-637)
+                cams_host = np.asarray(cams_out[:n_frames])
+                new_poses = [camera.pose_matrix_from_tensor_np(c)
+                             for c in cams_host]
+                est = self.ring.est_c2w
+                for k, s in enumerate(sel):
+                    est = est.at[s].set(jnp.asarray(new_poses[k]))
+                self.ring = self.ring._replace(est_c2w=est)
+                cur_c2w = new_poses[len(sel)]
+                cur_c2w_dev = jnp.asarray(cur_c2w)
         if self.ms.encode_exposure:
             self.exposure_feat_all.append(self.exposure_feat.copy())
 
@@ -654,6 +729,7 @@ class Mapper:
 
         out = {"geo_loss": float(stats[0]), "color_loss": float(stats[1]),
                "n_mask": float(stats[2]), "n_added": n_acc_total,
-               "n_iters": n_iters, "n_points": self.n_points_host}
+               "n_iters": n_iters, "n_points": self.n_points_host,
+               "cur_c2w": np.asarray(cur_c2w, np.float32)}
         self.frame_stats[idx] = out
         return out

@@ -170,12 +170,15 @@ class PointSLAM:
                                            self.estimate_c2w_list[idx],
                                            color_refine=refine)
                 self.timing["map"] += time.perf_counter() - t0
+                # BA refines the current pose during mapping (Mapper.py:735-737)
+                self.estimate_c2w_list[idx] = st["cur_c2w"]
                 if self.verbose:
                     print(f"[map] frame {idx}: +{st['n_added']} locations, "
                           f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}, "
                           f"col {st['color_loss']:.3f}, "
                           f"pts {st['n_points']}")
-                self.mlog.log({"idx_map": idx, **{k: v for k, v in st.items()}})
+                self.mlog.log({"idx_map": idx, **{k: v for k, v in st.items()
+                                                  if k != "cur_c2w"}})
                 self.map_vis.vis(idx, st["n_iters"] - 1, st["n_iters"],
                                  self.mapper, self.estimate_c2w_list[idx],
                                  depth, color,

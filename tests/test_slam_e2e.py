@@ -66,6 +66,25 @@ def test_tracking_stays_on_trajectory(slam_run):
         np.testing.assert_allclose(rrt, np.eye(3), atol=1e-3)
 
 
+def test_bundle_adjustment_runs(tmp_path):
+    """With mapping.BA on, window keyframe cameras are optimized once >4
+    keyframes exist (src/Mapper.py:375-397,727-737); the run must stay on
+    trajectory and refine poses without blowing up."""
+    cfg = e2e_cfg(tmp_path, n=14)
+    cfg["mapping"]["BA"] = True
+    cfg["mapping"]["keyframe_every"] = 2   # reach >4 keyframes quickly
+    slam = PointSLAM(cfg)
+    summary = slam.run()
+    ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
+                       align=False)
+    assert ate["absolute_translational_error.rmse"] < 0.10, ate
+    est = summary["estimate_c2w_list"]
+    assert np.isfinite(est).all()
+    for p in est:
+        np.testing.assert_allclose(p[:3, :3] @ p[:3, :3].T, np.eye(3),
+                                   atol=1e-3)
+
+
 def test_midrun_resume(tmp_path):
     """Run 0..6, checkpoint, resume a FRESH process-state at frame 7, and
     check the resumed run completes with a sane trajectory (no reference
