@@ -40,16 +40,22 @@ def _gaussian_window(size=11, sigma=1.5):
 
 
 def _filter2d_sep(img, win):
-    """Separable valid-mode filtering over (N,C,H,W)."""
+    """Separable valid-mode filtering over (N,C,H,W).
+
+    precision='highest' is load-bearing on TPU: the SSIM variances come from
+    catastrophic cancellation (mu_xx - mu_x^2), and bf16 MXU conv passes push
+    the result above 1."""
     k = win.shape[0]
     kh = win.reshape(1, 1, k, 1)
     kw = win.reshape(1, 1, 1, k)
     n, c, h, w = img.shape
     x = img.reshape(n * c, 1, h, w)
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                     dimension_numbers=("NCHW", "OIHW", "NCHW"))
+                                     dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                                     precision=jax.lax.Precision.HIGHEST)
     return x.reshape(n, c, x.shape[-2], x.shape[-1])
 
 
@@ -74,8 +80,11 @@ def _avg_pool2(x):
         x, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / 4.0
 
 
-def ms_ssim(img: jnp.ndarray, ref: jnp.ndarray, data_range=1.0) -> float:
-    """img/ref: (H,W,C) in [0, data_range]. Returns scalar MS-SSIM."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("data_range",))
+def _ms_ssim_jit(img, ref, data_range=1.0):
     x = jnp.transpose(img, (2, 0, 1))[None].astype(jnp.float32)
     y = jnp.transpose(ref, (2, 0, 1))[None].astype(jnp.float32)
     win = _gaussian_window()
@@ -90,8 +99,13 @@ def ms_ssim(img: jnp.ndarray, ref: jnp.ndarray, data_range=1.0) -> float:
             y = _avg_pool2(y)
     val = jnp.prod(jnp.stack(
         [m ** w for m, w in zip(mcs, _MSSSIM_WEIGHTS[:-1])]))
-    val = val * jnp.maximum(ssim_val, 0.0) ** _MSSSIM_WEIGHTS[-1]
-    return float(val)
+    return val * jnp.maximum(ssim_val, 0.0) ** _MSSSIM_WEIGHTS[-1]
+
+
+def ms_ssim(img: jnp.ndarray, ref: jnp.ndarray, data_range=1.0) -> float:
+    """img/ref: (H,W,C) in [0, data_range]. Returns scalar MS-SSIM."""
+    return float(_ms_ssim_jit(jnp.asarray(img), jnp.asarray(ref),
+                              data_range=data_range))
 
 
 _LPIPS_CACHE = {}
