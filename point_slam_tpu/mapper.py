@@ -472,11 +472,21 @@ class Mapper:
     def _ensure_capacity(self, worst_new: int):
         cap = self.cloud.pos.shape[0]
         cap_max = self.cfg["tpu"]["point_capacity_max"]
+        grew = False
         while self.n_points_host + worst_new > cap and cap < cap_max:
             cap *= 2
             self.cloud = pc.grow_cloud(self.cloud, cap, self.ms.n_add)
+            grew = True
         if self.n_points_host + worst_new > cap:
             raise RuntimeError("neural point cloud capacity exceeded")
+        if grew:
+            # keep hash-bucket occupancy bounded (~8 points/bucket mean):
+            # an overfull bucket silently drops points past max_per_cell,
+            # which would break densification dedup on large scenes
+            while self.table_size < cap // 8:
+                self.table_size *= 2
+            self.index = pc.build_index(self.cloud, self.cell_size,
+                                        self.table_size, self.max_per_cell)
 
     def radius_maps(self, color_dev):
         pcfg = self.cfg["pointcloud"]
@@ -646,9 +656,13 @@ class Mapper:
             ba_kwargs = {}
             if ba_on:
                 poses_host = np.asarray(w_c2w[:n_frames])
+                # padding slots carry IDENTITY quaternions: a zero quaternion
+                # gives a NaN pose (2/|q|^2), and even loss-masked rays from a
+                # NaN pose poison every gradient through backprop (0*NaN=NaN)
+                pad_cam = np.array([1, 0, 0, 0, 0, 0, 0], np.float32)
                 cams_np = np.stack(
                     [camera.tensor_from_pose_matrix(p) for p in poses_host]
-                    + [np.zeros(7, np.float32)] * (f - n_frames))
+                    + [pad_cam] * (f - n_frames))
                 mask = np.zeros((f,), np.float32)
                 mask[:n_frames] = 1.0
                 mask[int(np.argmin([self.keyframe_list[s] for s in sel]))] = 0.0

@@ -37,7 +37,6 @@ class RenderConfig(NamedTuple):
     weighting: str = "distance"
     min_nn_num: int = 2
     nn_num: int = 8
-    max_per_cell: int = 96
     encode_rel_pos_in_col: bool = True
     use_view_direction: bool = False
     encode_exposure: bool = False
@@ -56,7 +55,6 @@ def make_render_config(cfg: Dict[str, Any], sigmoid_coef: float) -> RenderConfig
         weighting=cfg["pointcloud"]["nn_weighting"],
         min_nn_num=cfg["pointcloud"]["min_nn_num"],
         nn_num=cfg["pointcloud"]["nn_num"],
-        max_per_cell=cfg["tpu"]["grid_max_per_cell"],
         encode_rel_pos_in_col=cfg["model"]["encode_rel_pos_in_col"],
         use_view_direction=cfg["model"]["use_view_direction"],
         encode_exposure=cfg["model"]["encode_exposure"],

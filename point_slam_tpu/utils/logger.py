@@ -52,9 +52,19 @@ def save_checkpoint(path: str, slam, idx: int | None = None) -> None:
         "estimate_c2w_list": slam.estimate_c2w_list,
         "gt_c2w_list": slam.gt_c2w_list,
         "keyframe_list": np.asarray(m.keyframe_list, np.int64),
+        # keyframe ring poses: BA refinements live only here (the reference
+        # likewise updates keyframe_dict, not estimate_c2w_list)
+        "keyframe_est_c2w": np.asarray(m.ring.est_c2w[:len(m.keyframe_list)]),
+        "keyframe_exposure": np.asarray(m.ring.exposure[:len(m.keyframe_list)]),
         "exposure_feat_all": (np.stack(m.exposure_feat_all)
                               if m.exposure_feat_all else np.zeros((0,))),
         "exposure_feat": np.asarray(m.exposure_feat),
+        # PRNG streams so a resumed run CONTINUES them instead of replaying
+        "mapper_key": np.asarray(jax.random.key_data(m.key)),
+        "tracker_key": np.asarray(jax.random.key_data(slam.tracker.key)),
+        "mapper_rng": np.frombuffer(
+            __import__("json").dumps(m.rng.bit_generator.state).encode(),
+            dtype=np.uint8),
         "idx": np.asarray(len(slam.estimate_c2w_list) - 1
                           if idx is None else idx),
     }
@@ -115,17 +125,36 @@ def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
         slam.mapper.exposure_feat_all = list(
             ckpt["exposure_feat_all"].astype(np.float32))
 
-    # rebuild the keyframe ring from the dataset + restored trajectory
+    # rebuild the keyframe ring from the dataset + restored trajectory;
+    # keyframe poses/exposures come from the checkpoint's ring snapshot when
+    # present (BA refinements and per-keyframe exposure latents live there)
     m = slam.mapper
+    kf_poses = ckpt.get("keyframe_est_c2w")
+    kf_expos = ckpt.get("keyframe_exposure")
     for slot, kf_idx in enumerate(m.keyframe_list):
         if slot >= m.ring.color.shape[0]:
             break
         _, color, depth, _ = slam.dataset[kf_idx]
         color = jnp.asarray(color)
         _, r_query, _, _ = m.radius_maps(color)
+        pose = (kf_poses[slot] if kf_poses is not None and slot < len(kf_poses)
+                else slam.estimate_c2w_list[kf_idx])
+        expo = (kf_expos[slot] if kf_expos is not None and slot < len(kf_expos)
+                else m.exposure_feat)
         m.ring = ring_set(
             m.ring, jnp.asarray(slot), color, jnp.asarray(depth), r_query,
-            jnp.asarray(slam.estimate_c2w_list[kf_idx]),
+            jnp.asarray(pose),
             jnp.asarray(slam.gt_c2w_list[kf_idx]),
-            jnp.asarray(m.exposure_feat))
+            jnp.asarray(expo))
+
+    # continue the PRNG streams
+    if "mapper_key" in ckpt:
+        m.key = jax.random.wrap_key_data(jnp.asarray(ckpt["mapper_key"]))
+    if "tracker_key" in ckpt:
+        slam.tracker.key = jax.random.wrap_key_data(
+            jnp.asarray(ckpt["tracker_key"]))
+    if "mapper_rng" in ckpt:
+        import json
+        state = json.loads(bytes(ckpt["mapper_rng"]).decode())
+        m.rng.bit_generator.state = state
     return idx + 1

@@ -60,9 +60,16 @@ def main():
         import glob
         ckpts = sorted(glob.glob(os.path.join(out, "ckpts", "*.npz")))
         if not ckpts:
-            raise SystemExit(f"--resume: no checkpoint found under "
-                             f"{os.path.join(out, 'ckpts')}")
-        resume_from = ckpts[-1]
+            # fresh full runs write under a timestamped subdir; resume the
+            # newest one that has checkpoints
+            nested = sorted(glob.glob(os.path.join(out, "*", "ckpts", "*.npz")))
+            if nested:
+                resume_from = nested[-1]
+                out = os.path.dirname(os.path.dirname(resume_from))
+            else:
+                raise SystemExit(f"--resume: no checkpoint found under {out}")
+        else:
+            resume_from = ckpts[-1]
 
     slam = PointSLAM(cfg, input_folder=args.input_folder, output=out)
     summary = slam.run(stop=args.stop, resume_from=resume_from)
