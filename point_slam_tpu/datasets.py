@@ -194,6 +194,7 @@ class Synthetic(BaseDataset):
         self.n_img = syn.get("n_frames", 100)
         self.box = np.array(syn.get("half_extent", [3.0, 2.2, 2.6]))
         self.noise = syn.get("depth_noise", 0.0)
+        self.dropout = syn.get("depth_dropout", 0.0)  # fraction of zero-depth
         self.seed = syn.get("seed", 7)
         # per-frame angular step; default sweeps 0.6 turns over >=60 frames so
         # inter-frame motion stays SLAM-trackable (a few cm, Replica-like)
@@ -258,6 +259,11 @@ class Synthetic(BaseDataset):
             if self.noise > 0:
                 rng = np.random.default_rng(self.seed + index)
                 depth = depth * (1 + self.noise * rng.standard_normal(depth.shape))
+            if self.dropout > 0:
+                # sensor holes (TUM/ScanNet-like): depth==0 marks invalid
+                rng = np.random.default_rng(self.seed * 7919 + index)
+                depth = np.where(rng.uniform(size=depth.shape) < self.dropout,
+                                 0.0, depth)
             self._cache[index] = (color.astype(np.float32),
                                   depth.astype(np.float32))
         color, depth = self._cache[index]

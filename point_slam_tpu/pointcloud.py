@@ -191,7 +191,10 @@ def sample_near_pcl(index: knn.GridIndex,
     z_sec = jnp.linspace(near, far, intervals)                 # (I,)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_sec[None, :, None]
     d, i, v = knn.grid_knn(index, pts.reshape(-1, 3), k=8)
-    counts = knn.neighbor_count(d, v, r_query).reshape(r, intervals)
+    rq = jnp.asarray(r_query, jnp.float32)
+    if rq.ndim == 1 and rq.shape[0] == r:
+        rq = jnp.repeat(rq, intervals)                         # per-ray radius
+    counts = knn.neighbor_count(d, v, rq).reshape(r, intervals)
     has = counts > 0                                           # (R,I)
     n_near = jnp.sum(has.astype(jnp.int32), axis=1)
     invalid = n_near < 2

@@ -125,6 +125,27 @@ def test_midrun_resume(slam_run, tmp_path):
             :continuous.mapper.n_points_host]))
 
 
+def test_sensor_holes_and_exposure(tmp_path):
+    """TUM/ScanNet-shaped run: depth dropout (zero-depth pixels exercise the
+    sample_near_pcl zero-depth ray path, src/neural_point.py:217-277) plus
+    per-keyframe exposure compensation (src/Mapper.py:529-548)."""
+    cfg = e2e_cfg(tmp_path, n=10)
+    cfg["synthetic"]["depth_dropout"] = 0.15
+    cfg["rendering"]["sample_near_pcl"] = True
+    cfg["model"]["encode_exposure"] = True
+    slam = PointSLAM(cfg)
+    summary = slam.run()
+    assert summary["n_frames"] == 10
+    assert np.isfinite(summary["estimate_c2w_list"]).all()
+    assert np.isfinite(np.asarray(
+        slam.mapper.cloud.packed[:slam.mapper.n_points_host])).all()
+    # exposure latents were optimized per mapped frame
+    assert len(slam.mapper.exposure_feat_all) > 0
+    ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
+                       align=False)
+    assert ate["absolute_translational_error.rmse"] < 0.20, ate
+
+
 def test_checkpoint_roundtrip(slam_run, tmp_path):
     from point_slam_tpu.utils.logger import (load_checkpoint,
                                              restore_cloud_and_params,
