@@ -193,6 +193,24 @@ class PointSLAM:
                                    self.tracker.iters, self.mapper,
                                    self.estimate_c2w_list[idx], depth, color)
 
+        # final point-cloud artifacts (src/Mapper.py:756-772): surface input
+        # points with rgb as npy+ply, neural point positions as npy
+        try:
+            m = self.mapper
+            ni = int(m.cloud.n_inputs)
+            npts = m.n_points_host
+            cloud_pos = np.asarray(m.cloud.input_pos[:ni])
+            cloud_rgb = np.asarray(m.cloud.input_rgb[:ni])
+            np.save(os.path.join(self.output, "final_point_cloud"),
+                    np.hstack([cloud_pos, cloud_rgb]))
+            np.save(os.path.join(self.output, "npc_cloud"),
+                    np.asarray(m.cloud.pos[:npts]))
+            from point_slam_tpu.utils.ply import write_ply
+            write_ply(os.path.join(self.output, "final_point_cloud.ply"),
+                      cloud_pos, colors=cloud_rgb / 255.0)
+        except Exception as e:  # pragma: no cover
+            print("point cloud dump failed:", e)
+
         self.mlog.log({"final_n_points": self.mapper.n_points_host,
                        **{f"time_{k}": v for k, v in self.timing.items()}})
         return {
