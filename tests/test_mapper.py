@@ -103,3 +103,53 @@ def test_mapped_scene_renders_depth(mapped):
     assert depth_l1 < 0.08, f"depth L1 {depth_l1:.3f} m too high"
     color_l1 = np.abs(col[valid] - color[valid]).mean()
     assert color_l1 < 0.25, f"color L1 {color_l1:.3f} too high"
+
+
+def test_capacity_growth_rescales_table(tmp_path):
+    """When the point buffer doubles, _ensure_capacity must keep the hash
+    table at ~8 points/bucket and rebuild the index so densification dedup
+    still sees every existing point (an overfull bucket silently drops)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from point_slam_tpu.config import load_config
+    from point_slam_tpu.mapper import Mapper
+    from point_slam_tpu.models import decoders as D
+    from point_slam_tpu.ops import knn
+    import point_slam_tpu.pointcloud as pc
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(here, "configs", "Synthetic", "room.yaml"),
+                      os.path.join(here, "configs", "point_slam.yaml"))
+    cfg["cam"].update({"H": 48, "W": 64, "fx": 40.0, "fy": 40.0,
+                       "cx": 31.5, "cy": 23.5})
+    cfg["tpu"].update({"point_capacity_init": 1 << 9,
+                       "point_capacity_max": 1 << 15,
+                       "grid_table_size": 1 << 5,      # tiny: forces scaling
+                       "grid_max_per_cell": 32})
+    cfg["verbose"] = False
+    rng = np.random.default_rng(0)
+    mapper = Mapper(cfg, D.init_decoders(jax.random.key(0), cfg), 10, rng)
+
+    # seed points, then request capacity far beyond the current buffer
+    npts = 400
+    pts = rng.uniform(-1, 1, (npts, 3)).astype(np.float32)
+    packed = mapper.cloud.packed.at[:npts, pc.POS_SL].set(jnp.asarray(pts))
+    mapper.cloud = mapper.cloud._replace(
+        packed=packed, n_points=jnp.asarray(npts, jnp.int32))
+    mapper.n_points_host = npts
+    mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
+                                  mapper.table_size, mapper.max_per_cell)
+    t0 = mapper.table_size
+    mapper._ensure_capacity(8000)
+    assert mapper.cloud.packed.shape[0] >= npts + 8000
+    assert mapper.table_size > t0, "table must scale with capacity"
+    # the rebuilt index still finds every point (vs brute force)
+    q = jnp.asarray(pts[:64] + 0.01)
+    gd, gi, gv = knn.grid_knn(mapper.index, q, k=8)
+    bd, bi, bv = knn.brute_knn(mapper.cloud.pos, mapper.cloud.n_points, q, k=8)
+    in_r = np.asarray(bd) < mapper.cell_size ** 2
+    np.testing.assert_allclose(np.where(in_r, np.asarray(gd), 0.0),
+                               np.where(in_r, np.asarray(bd), 0.0),
+                               rtol=1e-4, atol=1e-5)
