@@ -83,3 +83,15 @@ def load_config(path: str, default_path: Optional[str] = None,
 
     update_recursive(cfg, cfg_special)
     return cfg
+
+
+def get_model(cfg):
+    """Decoder factory, API parity with the reference's config.get_model
+    (src/config.py:54-69 -> conv_onet factory -> POINT decoders). Returns the
+    decoder parameter pytree; apply with models.decoders.{geo,col}_decoder_apply.
+    """
+    import jax
+    from point_slam_tpu.models import decoders as D
+    params = D.init_decoders(jax.random.key(cfg.get("setup_seed", 1219)), cfg)
+    pre = cfg.get("pretrained_decoders", {}).get("middle_fine", "")
+    return D.load_pretrained_geo(params, pre)

@@ -432,7 +432,8 @@ class Mapper:
             far_end_surface_pc=pcfg["far_end_surface"],
             add_max=mp["pixels_adding"] * 3,
             grad_max=max(mp["pixels_based_on_color_grad"], 1),
-            grad_top=5 * max(mp["pixels_based_on_color_grad"], 1),
+            grad_top=min(5 * max(mp["pixels_based_on_color_grad"], 1),
+                         h * w),
             max_iters=4 * max(mp["iters"], mp["iters_first"]),
         )
         self.rc = R.make_render_config(cfg, cfg["rendering"]["sigmoid_coef_mapper"])

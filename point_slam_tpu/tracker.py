@@ -172,7 +172,8 @@ class Tracker:
             use_color=tr["use_color_in_tracking"],
             w_color_loss=tr["w_color_loss"], separate_lr=tr["separate_LR"],
             sample_with_color_grad=tr["sample_with_color_grad"],
-            grad_top=15 * pix, max_iters=8 * tr["iters"],
+            grad_top=min(15 * pix, cam["H"] * cam["W"]),
+            max_iters=8 * tr["iters"],
         )
         self.rc = R.make_render_config(cfg, cfg["rendering"]["sigmoid_coef_tracker"])
         self.lr = tr["lr"]

@@ -160,3 +160,25 @@ def test_checkpoint_roundtrip(slam_run, tmp_path):
     after = np.asarray(slam.mapper.cloud.geo_feats[:10])
     np.testing.assert_array_equal(before, after)
     assert slam.mapper.keyframe_list == summary["keyframes"]
+
+
+def test_tracker_color_grad_preselection(tmp_path):
+    """tracking.sample_with_color_grad picks rays from the top-gradient pool
+    (src/Tracker.py:254-260) — the run must stay on trajectory."""
+    cfg = e2e_cfg(tmp_path, n=8)
+    cfg["tracking"]["sample_with_color_grad"] = True
+    slam = PointSLAM(cfg)
+    summary = slam.run()
+    ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
+                       align=False)
+    assert ate["absolute_translational_error.rmse"] < 0.15, ate
+
+
+def test_get_model_factory():
+    from point_slam_tpu.config import load_config, get_model
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(here, "configs", "Synthetic", "room.yaml"),
+                      os.path.join(here, "configs", "point_slam.yaml"))
+    params = get_model(cfg)
+    assert "geo" in params and "col" in params
