@@ -15,7 +15,7 @@ NPTS = 300_000
 Q = 25_000
 CELL = 0.16
 TABLE = 1 << 16
-C = 96
+C = 64
 K = 8
 N = 30
 
@@ -88,7 +88,14 @@ def s_full(k, b):
     return mix(k, jnp.where(jnp.isfinite(d), d, 0.0))
 
 
+def s_approx(k, b):
+    d2, _ = common(queries(k, b), b["index"])
+    neg, p = jax.lax.approx_max_k(-d2, K, recall_target=0.95)
+    return mix(k, jnp.where(jnp.isfinite(neg), neg, 0.0))
+
+
 chain("probes only          ", s_probe)
 chain("gather+d2+min        ", s_dist)
 chain("gather+d2+top_k      ", s_topk)
 chain("full grid_knn        ", s_full)
+chain("gather+d2+approx_topk", s_approx)
