@@ -24,6 +24,9 @@ TPU_DEFAULTS: Dict[str, Any] = {
         "point_capacity_init": 1 << 17,   # initial padded point buffer size
         "point_capacity_max": 1 << 22,    # hard cap
         "knn_backend": "grid",            # 'grid' | 'brute'
+        "ray_knn": "auto",                # ray-shared Pallas kNN in the
+                                          # renderer: 'auto' (TPU only) |
+                                          # True | False
         "grid_max_per_cell": 64,          # candidate cap per hash cell; real
                                           # clouds are dedup-radius-bounded
                                           # (measured p99 occupancy 44, max 76

@@ -42,10 +42,22 @@ class RenderConfig(NamedTuple):
     encode_exposure: bool = False
     points_batch: int = 500_000
     ray_batch: int = 3000
+    # ray-shared Pallas kNN (ops/knn.ray_grid_knn): ~2x mapping-scale kNN.
+    # "auto" resolves to True on TPU, False on CPU (interpret-mode Pallas
+    # is only for tests).
+    ray_knn: bool = False
+
+
+def _resolve_ray_knn(cfg: Dict[str, Any]) -> bool:
+    mode = cfg.get("tpu", {}).get("ray_knn", "auto")
+    if mode == "auto":
+        return jax.default_backend() not in ("cpu",)
+    return bool(mode)
 
 
 def make_render_config(cfg: Dict[str, Any], sigmoid_coef: float) -> RenderConfig:
     return RenderConfig(
+        ray_knn=_resolve_ray_knn(cfg),
         n_surface=cfg["rendering"]["N_surface"],
         near_end=cfg["rendering"]["near_end"],
         near_end_surface=cfg["rendering"]["near_end_surface"],
@@ -120,17 +132,37 @@ def render_rays(params: Dict[str, Any], packed, n_points,
     p = pts.reshape(-1, 3)                                   # (R*ns, 3)
     r_query_pts = jnp.repeat(r_query, ns)
 
-    dists, idx, valid = knn.grid_knn(index, jax.lax.stop_gradient(p),
-                                     k=rc.nn_num)
+    if rc.ray_knn:
+        _, idx, valid, compact = knn.ray_grid_knn(
+            index, jax.lax.stop_gradient(pts), k=rc.nn_num)
+        if rc.sample_near_pcl:
+            # depth-free rays can spread samples beyond the probed box;
+            # route the (rare) non-compact rays through per-sample grid_knn
+            # — compact rays' fallback queries are parked far away so their
+            # probes all hit one empty bucket.
+            p_fb = jnp.where(compact[:, None, None], 1.0e6,
+                             jax.lax.stop_gradient(pts)).reshape(-1, 3)
+            d_f, i_f, v_f = knn.grid_knn(index, p_fb, k=rc.nn_num)
+            rep = jnp.repeat(compact, ns)[:, None]
+            idx = jnp.where(rep, idx, i_f)
+            valid = jnp.where(rep, valid, v_f)
+        nb = packed[idx]                                     # (N,K,PACK_W)
+        neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
+        # exact distances from winner coordinates (ray_grid_knn's are
+        # selection-quantized); identical float ops to grid_knn's d2
+        p_q = p if is_tracker else jax.lax.stop_gradient(p)
+        diff = neigh_pos - p_q[:, None, :]
+        dists = jnp.sum(diff * diff, axis=-1)
+    else:
+        dists, idx, valid = knn.grid_knn(index, jax.lax.stop_gradient(p),
+                                         k=rc.nn_num)
+        nb = packed[idx]                                     # (N,K,PACK_W)
+        neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
+        if is_tracker:
+            diff = neigh_pos - p[:, None, :]
+            dists = jnp.sum(diff * diff, axis=-1)
     counts = knn.neighbor_count(dists, valid, r_query_pts)
     has_neighbors = counts > rc.min_nn_num - 1
-
-    nb = packed[idx]                                         # (N,K,PACK_W)
-    neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
-
-    if is_tracker:
-        diff = neigh_pos - p[:, None, :]
-        dists = jnp.sum(diff * diff, axis=-1)
 
     w = D.interpolation_weights(dists, valid, r_query_pts, rc.weighting)
 

@@ -106,33 +106,37 @@ BIG.update(window=window, w_c2w=w_c2w, w_exp=w_exp, cloud=cloud, index=index,
 
 # rung 1: ray sampling only
 def s_sample(k, b):
-    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
-    return mix(k, rays["rays_o"])
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
+    return mix(k, rays["dirs_cam"])
 
 # rung 2: + kNN over the ray samples
 def s_knn(k, b):
-    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
-    z, _ = R.build_z_vals(rc, b["index"], rays["rays_o"],
-                          rays["rays_d"], rays["gt_depth"], rays["r_query"],
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
+    from point_slam_tpu.mapper import _rays_world
+    rays_o, rays_d = _rays_world(rays, b["w_c2w"])
+    z, _ = R.build_z_vals(rc, b["index"], rays_o,
+                          rays_d, rays["gt_depth"], rays["r_query"],
                           rays["ray_ok"])
-    p = (rays["rays_o"][:, None, :] + rays["rays_d"][:, None, :]
-         * z[..., None]).reshape(-1, 3)
-    d, i, v = knn.grid_knn(b["index"], p, k=rc.nn_num)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    if rc.ray_knn:
+        d, i, v, _ = knn.ray_grid_knn(b["index"], pts, k=rc.nn_num)
+    else:
+        d, i, v = knn.grid_knn(b["index"], pts.reshape(-1, 3), k=rc.nn_num)
     return mix(k, jnp.where(jnp.isfinite(d), d, 0.0))
 
 # rung 3: + full geometry-stage forward loss
 def s_geo_fwd(k, b):
-    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
     loss, _ = _losses(ms, rc, b["params"], b["cloud"].packed, b["w_exp"],
-                      b["cloud"].n_points, b["index"], rays, k,
+                      b["cloud"].n_points, b["index"], rays, b["w_c2w"], k,
                       stage_color=False)
     return mix(k, loss)
 
 # rung 4: + color-stage forward loss
 def s_col_fwd(k, b):
-    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
     loss, _ = _losses(ms, rc, b["params"], b["cloud"].packed, b["w_exp"],
-                      b["cloud"].n_points, b["index"], rays, k,
+                      b["cloud"].n_points, b["index"], rays, b["w_c2w"], k,
                       stage_color=True)
     return mix(k, loss)
 
@@ -142,7 +146,8 @@ def make_grad(stage_color):
         p = {"col": diff["col"], "geo": b["params"]["geo"]}
         return _losses(ms, rc, p, diff["packed"],
                        b["w_exp"], b["cloud"].n_points,
-                       b["index"], rays, kk, stage_color=stage_color)
+                       b["index"], rays, b["w_c2w"], kk,
+                       stage_color=stage_color)
     return jax.grad(lambda d, b, r, kk: loss_fn(d, b, r, kk)[0])
 
 grad_geo = make_grad(False)
@@ -150,19 +155,19 @@ grad_col = make_grad(True)
 
 # rung 5: geometry grad
 def s_geo_grad(k, b):
-    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
     g = grad_geo(b["diff0"], b, rays, k)
     return mix(k, g["packed"][0])
 
 # rung 6: color grad
 def s_col_grad(k, b):
-    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
     g = grad_col(b["diff0"], b, rays, k)
     return mix(k, g["packed"][0])
 
 # rung 7: color grad + frustum mask + adam on all groups
 def s_full(k, b):
-    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi, b["w_c2w"])
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
     g = grad_col(b["diff0"], b, rays, k)
     g["packed"] = g["packed"] * b["frustum"][:, None]
     acc = 0.0

@@ -106,3 +106,81 @@ def test_grid_knn_empty_cloud():
     gd, gi, gv = knn.grid_knn(idx, jnp.asarray(queries), k=8)
     assert not np.any(np.asarray(gv))
     assert np.all(np.isinf(np.asarray(gd)))
+
+
+def _ray_queries(pts, n, rng, n_rays, ns=5):
+    """Ray-structured queries: samples clustered within 0.04*depth."""
+    centers = pts[rng.integers(0, n, size=n_rays)]
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    depth = rng.uniform(1.5, 4.0, size=n_rays).astype(np.float32)
+    t = np.linspace(0.98, 1.02, ns).astype(np.float32)
+    origins = centers - dirs * depth[:, None]
+    z = depth[:, None] * t[None, :]
+    return (origins[:, None, :] + dirs[:, None, :] * z[..., None]
+            ).astype(np.float32)
+
+
+def test_ray_grid_knn_matches_grid_knn():
+    """Ray-shared (Pallas) search agrees with per-sample grid_knn on
+    compact rays: same in-radius neighbor sets, counts, and recomputed
+    distances (ray path distances are selection-quantized, so compare via
+    winner coordinates)."""
+    cap, n, n_rays, ns = 4096, 3000, 64, 5
+    radius = 0.2
+    pts, rng = make_cloud(n, cap, seed=5)
+    q = _ray_queries(pts, n, rng, n_rays, ns)
+    index = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                                 jnp.asarray(radius), table_size=1 << 14)
+    gd, gi, gv = knn.grid_knn(index, jnp.asarray(q.reshape(-1, 3)), k=8)
+    rd, ri, rv, compact = knn.ray_grid_knn(index, jnp.asarray(q), k=8)
+    assert np.all(np.asarray(compact))
+    gd, gv, gi = np.asarray(gd), np.asarray(gv), np.asarray(gi)
+    ri, rv = np.asarray(ri), np.asarray(rv)
+    flat_q = q.reshape(-1, 3)
+    re_d = ((flat_q[:, None, :] - pts[ri]) ** 2).sum(-1)
+    re_d = np.where(rv, re_d, np.inf)
+    # the ray path's box covers MORE cells than one sample's 27 (the union
+    # over the ray), so it may return extra beyond-radius neighbors; only
+    # in-radius behavior is contractual (weights are zero outside radius).
+    g_sorted = np.sort(np.where(gv, gd, np.inf), axis=1)
+    r_sorted = np.sort(re_d, axis=1)
+    r2 = radius ** 2
+    in_r = g_sorted < r2
+    np.testing.assert_allclose(np.where(in_r, g_sorted, 0.0),
+                               np.where(in_r, r_sorted, 0.0),
+                               rtol=1e-5, atol=1e-9)
+    # in-radius counts agree exactly (this is what neighbor_count consumes)
+    np.testing.assert_array_equal((g_sorted < r2).sum(1),
+                                  (r_sorted < r2).sum(1))
+    # quantized selection distances track the exact ones loosely
+    rdq = np.asarray(rd)
+    fin = np.isfinite(rdq)
+    np.testing.assert_allclose(rdq[fin], re_d[fin], rtol=2e-3, atol=1e-6)
+
+
+def test_ray_grid_knn_flags_wide_rays_non_compact():
+    """Rays whose samples span more cells than the probe box must be
+    flagged so the renderer can fall back to per-sample search."""
+    cap, n = 1024, 700
+    pts, rng = make_cloud(n, cap, seed=6)
+    index = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                                 jnp.asarray(0.1), table_size=1 << 12)
+    # uniform samples over meters (a depth-free ray)
+    q = np.zeros((2, 5, 3), np.float32)
+    q[0, :, 0] = np.linspace(-1.5, 1.5, 5)          # spans 30 cells
+    q[1] = 0.01 * rng.normal(size=(5, 3))           # compact
+    _, _, _, compact = knn.ray_grid_knn(index, jnp.asarray(q), k=8)
+    assert not bool(compact[0])
+    assert bool(compact[1])
+
+
+def test_ray_grid_knn_empty_cloud():
+    cap = 128
+    pts = np.full((cap, 3), 1e6, np.float32)
+    q = np.zeros((3, 5, 3), np.float32)
+    index = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(0),
+                                 jnp.asarray(0.1))
+    rd, ri, rv, _ = knn.ray_grid_knn(index, jnp.asarray(q), k=8)
+    assert not np.any(np.asarray(rv))
+    assert np.all(np.isinf(np.asarray(rd)))
