@@ -40,6 +40,8 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # single device program stays under
                                           # the runtime watchdog
         "keyframe_device_budget": 400,    # max keyframes held on device
+        "profile_dir": None,              # set to a path to capture a
+                                          # jax.profiler trace of the run
     },
 }
 

@@ -105,6 +105,23 @@ class PointSLAM:
     def run(self, stop: Optional[int] = None, progress: bool = True,
             resume_from: Optional[str] = None) -> Dict[str, Any]:
         cfg = self.cfg
+        # optional device trace: set tpu.profile_dir to capture a
+        # jax.profiler trace of the whole run (view with tensorboard /
+        # xprof). Complements the per-phase wall-clock timers in
+        # self.timing (SURVEY §5: the reference only has perf_counter
+        # prints, src/Mapper.py:409,570-596).
+        profile_dir = cfg.get("tpu", {}).get("profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            return self._run(stop, progress, resume_from)
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
+
+    def _run(self, stop: Optional[int] = None, progress: bool = True,
+             resume_from: Optional[str] = None) -> Dict[str, Any]:
+        cfg = self.cfg
         n = self.n_img if stop is None else min(stop + 1, self.n_img)
         every = cfg["mapping"]["every_frame"]
         lazy = cfg["mapping"]["lazy_start"] or 0

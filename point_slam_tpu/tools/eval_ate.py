@@ -68,11 +68,44 @@ def evaluate_ate(gt_c2w_list, est_c2w_list, align: bool = True
     }
 
 
+def plot_traj(gt_c2w_list, est_c2w_list, path: str) -> None:
+    """Save a top-down (x-y) trajectory comparison plot.
+
+    Parity: src/tools/eval_ate.py:81-110,183-216 (ground truth vs estimate
+    with per-pose difference segments).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    gt = np.asarray(gt_c2w_list, np.float64)
+    est = np.asarray(est_c2w_list, np.float64)
+    ok = np.isfinite(gt.reshape(len(gt), -1)).all(1) & \
+        np.isfinite(est.reshape(len(est), -1)).all(1)
+    g = pose_translations(gt[ok])
+    e = pose_translations(est[ok])
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot(g[0], g[1], "-", color="black", label="ground truth")
+    ax.plot(e[0], e[1], "-", color="blue", label="estimated")
+    for i in range(0, g.shape[1]):
+        ax.plot([g[0, i], e[0, i]], [g[1, i], e[1, i]],
+                "-", color="red", alpha=0.3, linewidth=0.5,
+                label="difference" if i == 0 else None)
+    ax.legend()
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    ax.set_aspect("equal", adjustable="datalim")
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("config", nargs="?")
     parser.add_argument("--output", required=True)
     parser.add_argument("--no_align", action="store_true")
+    parser.add_argument("--plot", default=None,
+                        help="save a trajectory plot to this path")
     args = parser.parse_args()
 
     ckpt_dir = os.path.join(args.output, "ckpts")
@@ -83,6 +116,8 @@ def main():
     data = np.load(os.path.join(ckpt_dir, ckpts[-1]))
     result = evaluate_ate(data["gt_c2w_list"], data["estimate_c2w_list"],
                           align=not args.no_align)
+    if args.plot:
+        plot_traj(data["gt_c2w_list"], data["estimate_c2w_list"], args.plot)
     print(result)
 
 

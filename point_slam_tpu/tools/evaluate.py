@@ -96,6 +96,9 @@ def run_end_of_run_eval(slam, out_dir: str) -> Dict[str, Any]:
             "absolute_translational_error.rmse"]
         print("ate_rmse:", ate)
         print("ate_rmse_wo_align:", ate_no)
+        from point_slam_tpu.tools.eval_ate import plot_traj
+        plot_traj(slam.gt_c2w_list, slam.estimate_c2w_list,
+                  os.path.join(out_dir, "trajectory.png"))
     except Exception as e:  # pragma: no cover
         print("ATE evaluation failed:", e)
 

@@ -209,3 +209,87 @@ if __name__ == "__main__":
     chain("s2 +gather             ", s_gather)
     chain("s3 +transpose          ", s_trans)
     chain("v4 full                ", v4)
+
+
+# --- v5: compact the probes (valid ones first) to a P2-slot budget
+P2 = 40
+
+
+def box_probes_compact(q):
+    qc = jnp.floor(q / CELLJ).astype(jnp.int32)
+    cmin = jnp.min(qc, axis=1) - 1
+    cmax = jnp.max(qc, axis=1) + 1
+    start = jnp.where(cmax - cmin + 1 > 4, cmin + 1, cmin)
+    cells = start[:, None, :] + _OFF64[None]
+    ok = jnp.all(_OFF64[None] <= (cmax - start)[:, None, :], axis=-1)
+    h = _hash_cells(cells, TABLE).astype(jnp.int32)
+    dup = (h[:, :, None] == h[:, None, :]) & (
+        jnp.arange(P)[None, :, None] > jnp.arange(P)[None, None, :])
+    ok &= ~jnp.any(dup, axis=-1)
+    dst = jnp.cumsum(ok, axis=1) - 1
+    dst = jnp.where(ok & (dst < P2), dst, P2)
+    rows = jnp.arange(R, dtype=jnp.int32)[:, None]
+    flat = jnp.full((R * (P2 + 1),), TABLE, jnp.int32)
+    flat = flat.at[(rows * (P2 + 1) + dst).reshape(-1)].set(
+        h.reshape(-1), mode="drop")
+    return flat.reshape(R, P2 + 1)[:, :P2]
+
+
+def _kernel2(cand_ref, qx_ref, qy_ref, qz_ref, out_p_ref, out_i_ref):
+    PC = P2 * C
+    X = cand_ref[:, 0 * PC:1 * PC]
+    Y = cand_ref[:, 1 * PC:2 * PC]
+    Z = cand_ref[:, 2 * PC:3 * PC]
+    IDs = cand_ref[:, 3 * PC:4 * PC]
+    lane = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+    for s in range(NS):
+        dx = X - qx_ref[:, s][:, None]
+        dy = Y - qy_ref[:, s][:, None]
+        dz = Z - qz_ref[:, s][:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        packed = ((jax.lax.bitcast_convert_type(d2, jnp.int32)
+                   & ~jnp.int32(_LANE_MASK)) | lane)
+        for kk in range(K):
+            m = jnp.min(packed, axis=-1, keepdims=True)
+            sel = lane == (m & _LANE_MASK)
+            out_p_ref[:, s * K + kk] = m[:, 0]
+            out_i_ref[:, s * K + kk] = jnp.sum(
+                jnp.where(sel, IDs, 0.0), axis=-1)
+            packed = jnp.where(sel, jnp.int32(0x7FFFFFFF), packed)
+
+
+def pallas_topk2(cand, qx, qy, qz, r):
+    bs_c = pl.BlockSpec((R_BLK, 4 * P2 * C), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bs_q = pl.BlockSpec((R_BLK, NS), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bs_o = pl.BlockSpec((R_BLK, NS * K), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernel2,
+        grid=(r // R_BLK,),
+        in_specs=[bs_c, bs_q, bs_q, bs_q],
+        out_specs=(bs_o, bs_o),
+        out_shape=(jax.ShapeDtypeStruct((r, NS * K), jnp.int32),
+                   jax.ShapeDtypeStruct((r, NS * K), jnp.float32)),
+    )(cand, qx, qy, qz)
+
+
+def v5(k, b):
+    q = jitter(k, b)
+    probes = box_probes_compact(q)
+    blocks = b["table"][probes]
+    cand = jnp.transpose(blocks, (0, 3, 1, 2)).reshape(R, 4 * P2 * C)
+    packed, ids = pallas_topk2(cand, q[..., 0], q[..., 1], q[..., 2], R)
+    valid = packed < jnp.int32(0x7F800000)
+    idx = jnp.where(valid, ids, 0.0).astype(jnp.int32)
+    return mix(k, packed, idx)
+
+
+def s5_probes(k, b):
+    return mix(k, box_probes_compact(jitter(k, b)))
+
+
+def s5_gather(k, b):
+    q = jitter(k, b)
+    return mix(k, b["table"][box_probes_compact(q)])

@@ -93,3 +93,15 @@ def test_ms_ssim_smooth_vs_structured():
     shuffled = shuffled.reshape(x.shape)
     assert metrics.ms_ssim(jnp.asarray(bright), jnp.asarray(x)) > \
         metrics.ms_ssim(jnp.asarray(shuffled), jnp.asarray(x))
+
+
+def test_plot_traj_writes_png(tmp_path):
+    from point_slam_tpu.tools.eval_ate import plot_traj
+    n = 12
+    gt = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    gt[:, 0, 3] = np.linspace(0, 1, n)
+    est = gt.copy()
+    est[:, 1, 3] += 0.01
+    out = tmp_path / "traj.png"
+    plot_traj(gt, est, str(out))
+    assert out.exists() and out.stat().st_size > 1000
