@@ -1,4 +1,4 @@
-"""Isosurface extraction via marching tetrahedra (pure numpy, vectorized).
+"""Isosurface extraction via marching tetrahedra.
 
 Replaces Open3D's marching-cubes extraction (N2a,
 src/tools/get_mesh_tsdf_fusion.py:345). Each active grid cell is split into
@@ -6,14 +6,96 @@ six tetrahedra sharing the main diagonal; the per-tet case tables (triangle /
 quad crossings) are derived programmatically at import, and triangle winding
 is fixed numerically so normals point toward increasing SDF (outward for
 truncated signed distance with positive = free space).
+
+Two implementations with identical semantics:
+* native C++ (native/marching.cpp, built on first use, ctypes) — ~20x
+  faster at mesher grid sizes, used by default;
+* pure numpy (vectorized) — fallback and test oracle.
 """
 
 from __future__ import annotations
 
+import ctypes
 import itertools
+import os
+import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_HERE, "native", "marching.cpp")
+_BUILD = os.path.join(_HERE, "native", "build")
+_LIB_PATH = os.path.join(_BUILD, "libpsmarch.so")
+
+_lib = None
+_lib_tried = False
+
+
+def _load_native():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)):
+            os.makedirs(_BUILD, exist_ok=True)
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", _SRC,
+                            "-o", _LIB_PATH], check=True, capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int)
+        lib.ps_marching_tetra.argtypes = [
+            f32p, f32p, f32p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float,
+            ctypes.POINTER(f32p), ctypes.POINTER(i32p), ctypes.POINTER(f32p),
+            ctypes.POINTER(ctypes.c_long)]
+        lib.ps_marching_tetra.restype = ctypes.c_long
+        lib.ps_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def _marching_native(lib, sdf, iso, origin, voxel, weight, color):
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def fptr(a):
+        return (a.ctypes.data_as(f32p) if a is not None
+                else ctypes.cast(None, f32p))
+
+    sdf = np.ascontiguousarray(sdf, np.float32)
+    weight = (np.ascontiguousarray(weight, np.float32)
+              if weight is not None else None)
+    color = (np.ascontiguousarray(color, np.float32)
+             if color is not None else None)
+    out_v, out_f, out_c = f32p(), ctypes.POINTER(ctypes.c_int)(), f32p()
+    n_verts = ctypes.c_long(0)
+    n_faces = lib.ps_marching_tetra(
+        fptr(sdf), fptr(weight), fptr(color),
+        sdf.shape[0], sdf.shape[1], sdf.shape[2],
+        ctypes.c_float(iso),
+        ctypes.c_float(origin[0]), ctypes.c_float(origin[1]),
+        ctypes.c_float(origin[2]), ctypes.c_float(voxel),
+        ctypes.byref(out_v), ctypes.byref(out_f), ctypes.byref(out_c),
+        ctypes.byref(n_verts))
+    nv = n_verts.value
+    verts = np.ctypeslib.as_array(out_v, (nv, 3)).copy() if nv else \
+        np.zeros((0, 3), np.float32)
+    faces = np.ctypeslib.as_array(out_f, (n_faces, 3)).copy() if n_faces \
+        else np.zeros((0, 3), np.int32)
+    vcols = None
+    if color is not None and nv:
+        vcols = np.ctypeslib.as_array(out_c, (nv, 3)).copy()
+    for p in (out_v, out_f, out_c):
+        if p:
+            lib.ps_free(ctypes.cast(p, ctypes.c_void_p))
+    return verts, faces, vcols
 
 # Corner offsets of a cell, index 0..7 -> (dx, dy, dz)
 _CORNERS = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
@@ -57,15 +139,22 @@ def marching_tetrahedra(sdf: np.ndarray, iso: float = 0.0,
                         origin=(0.0, 0.0, 0.0), voxel: float = 1.0,
                         weight: Optional[np.ndarray] = None,
                         color: Optional[np.ndarray] = None,
+                        native: bool = True,
                         ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
     """Extract the iso-surface of a (X,Y,Z) scalar grid.
 
     weight: optional per-voxel validity (cells touching weight==0 corners are
     skipped — the TSDF 'unobserved' convention). color: optional (X,Y,Z,3)
-    field interpolated to vertices.
+    field interpolated to vertices. native=False forces the numpy path
+    (the oracle the C++ implementation is tested against).
 
     Returns (vertices (N,3), faces (M,3), vertex_colors (N,3) or None).
     """
+    if native:
+        lib = _load_native()
+        if lib is not None:
+            return _marching_native(lib, sdf, iso, origin, voxel,
+                                    weight, color)
     sdf = np.asarray(sdf, np.float32)
     nx, ny, nz = sdf.shape
     if min(nx, ny, nz) < 2:

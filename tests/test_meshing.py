@@ -101,3 +101,47 @@ def test_tsdf_fusion_box_room():
     # colors close to the analytic color field at the vertex
     cf = ds._color_field(verts)
     assert np.abs(vcols - cf).mean() < 0.15
+
+
+def test_marching_native_matches_numpy():
+    """The C++ extractor (native/marching.cpp) must reproduce the numpy
+    oracle's geometry exactly: same welded vertex set, same face set (as
+    position triples), interpolated colors equal."""
+    from point_slam_tpu.tools import marching
+    if marching._load_native() is None:
+        pytest.skip("native marching library unavailable")
+    rng = np.random.default_rng(7)
+    nx, ny, nz = 40, 36, 28
+    x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    sdf = np.clip((np.sqrt((x - 20.0) ** 2 + (y - 18.0) ** 2
+                           + (z - 14.0) ** 2) - 9.0) / 3.0, -1, 1
+                  ).astype(np.float32)
+    sdf += 0.05 * rng.normal(size=sdf.shape).astype(np.float32)
+    w = (np.abs(sdf) < 1).astype(np.float32)
+    col = rng.random((nx, ny, nz, 3)).astype(np.float32)
+
+    v1, f1, c1 = marching.marching_tetrahedra(
+        sdf, iso=0.0, origin=(0.5, -0.25, 1.0), voxel=0.04,
+        weight=w, color=col, native=False)
+    v2, f2, c2 = marching.marching_tetrahedra(
+        sdf, iso=0.0, origin=(0.5, -0.25, 1.0), voxel=0.04,
+        weight=w, color=col, native=True)
+    assert len(v1) == len(v2) and len(f1) == len(f2)
+
+    def vkeys(v):
+        q = np.round(v / 0.04 * 1e5).astype(np.int64)
+        return q[np.lexsort(q.T)]
+
+    np.testing.assert_array_equal(vkeys(v1), vkeys(v2))
+
+    def fkeys(v, f):
+        q = np.round(v / 0.04 * 1e5).astype(np.int64)
+        tri = np.sort(q[f], axis=1).reshape(len(f), 9)
+        return tri[np.lexsort(tri.T)]
+
+    np.testing.assert_array_equal(fkeys(v1, f1), fkeys(v2, f2))
+    # colors: match per-vertex through the sorted correspondence
+    o1 = np.lexsort(np.round(v1 / 0.04 * 1e5).astype(np.int64).T)
+    o2 = np.lexsort(np.round(v2 / 0.04 * 1e5).astype(np.int64).T)
+    np.testing.assert_allclose(c1[o1], c2[o2], atol=1e-6)
