@@ -458,6 +458,7 @@ class Mapper:
         self.exposure_feat = 0.01 * rng.standard_normal(
             cfg["model"]["exposure_dim"]).astype(np.float32)
         self.exposure_feat_all = []
+        self.color_decoder_snapshots = []   # per mapped frame, exposure only
 
         self.dyn = cfg["use_dynamic_radius"]
         self.pseed = cfg["setup_seed"]
@@ -729,6 +730,12 @@ class Mapper:
                 cur_c2w_dev = jnp.asarray(cur_c2w)
         if self.ms.encode_exposure:
             self.exposure_feat_all.append(self.exposure_feat.copy())
+            # snapshot the color decoder per mapped frame: the end-of-run
+            # re-render must pair each frame's exposure feature with the
+            # decoder epoch it was trained against (src/Mapper.py:631-635,
+            # re-loaded at src/Mapper.py:826-846)
+            self.color_decoder_snapshots.append(
+                jax.tree.map(np.asarray, self.params["col"]))
 
         # ---- keyframe bookkeeping (src/Mapper.py:741-751)
         if ((idx % mp["keyframe_every"] == 0 or idx == self.n_img - 2)

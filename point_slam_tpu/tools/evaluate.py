@@ -51,8 +51,15 @@ def rerender_frames(slam, out_dir: str, save_renders: bool = True,
         _, gt_color, gt_depth, _ = slam.dataset[idx]
         c2w = jnp.asarray(slam.estimate_c2w_list[idx])
         _, r_query, _, _ = mapper.radius_maps(jnp.asarray(gt_color))
+        params = mapper.params
+        snaps = getattr(mapper, "color_decoder_snapshots", None)
+        if snaps and idx // every < len(snaps):
+            # exposure runs pair each frame with the color-decoder epoch it
+            # was optimized against (src/Mapper.py:826-846)
+            params = {**params, "col": jax.tree.map(jnp.asarray,
+                                                    snaps[idx // every])}
         dep, unc, col = R.render_img(
-            mapper.params, mapper.cloud, mapper.index, c2w, intr, hw, rc,
+            params, mapper.cloud, mapper.index, c2w, intr, hw, rc,
             jax.random.fold_in(key, idx), jnp.asarray(gt_depth), r_query,
             exposure_feat=(jnp.asarray(mapper.exposure_feat_all[idx // every])
                            if mapper.exposure_feat_all else None))

@@ -112,8 +112,9 @@ def main():
 
     from point_slam_tpu.config import load_config
     from point_slam_tpu.slam import PointSLAM
-    from point_slam_tpu.utils.logger import (load_checkpoint,
-                                             restore_cloud_and_params)
+    from point_slam_tpu.utils.logger import (
+        load_checkpoint, restore_cloud_and_params,
+        restore_color_decoder_snapshots)
 
     here = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -124,6 +125,11 @@ def main():
     assert ckpts, "no checkpoint found"
     ckpt = load_checkpoint(ckpts[-1])
     restore_cloud_and_params(ckpt, slam.mapper)
+    restore_color_decoder_snapshots(ckpt, slam.mapper)
+    if ckpt.get("exposure_feat_all") is not None and \
+            ckpt["exposure_feat_all"].size:
+        slam.mapper.exposure_feat_all = list(
+            ckpt["exposure_feat_all"].astype(np.float32))
     n = min(len(ckpt["estimate_c2w_list"]), slam.n_img)
     slam.estimate_c2w_list[:n] = ckpt["estimate_c2w_list"][:n]
     slam.gt_c2w_list[:n] = ckpt["gt_c2w_list"][:n]

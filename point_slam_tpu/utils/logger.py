@@ -69,6 +69,15 @@ def save_checkpoint(path: str, slam, idx: int | None = None) -> None:
                           if idx is None else idx),
     }
     payload.update(_flatten_params(slam.mapper.params))
+    # exposure runs: per-mapped-frame color-decoder snapshots (the analog of
+    # the reference's ckpts/color_decoder/{idx}.pt files,
+    # src/Mapper.py:631-635), stacked per leaf
+    snaps = getattr(m, "color_decoder_snapshots", [])
+    if snaps:
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *snaps)
+        for k, v in _flatten_params(stacked).items():
+            payload[f"colsnap/{k[len('param/'):]}"] = v
+        payload["colsnap_n"] = np.asarray(len(snaps))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **payload)
 
@@ -107,6 +116,26 @@ def restore_cloud_and_params(ckpt: Dict[str, np.ndarray], mapper) -> None:
     mapper.keyframe_list = [int(i) for i in ckpt["keyframe_list"]]
 
 
+def restore_color_decoder_snapshots(ckpt: Dict[str, np.ndarray],
+                                    mapper) -> None:
+    """Rebuild the per-frame color-decoder snapshot list (exposure runs)."""
+    n = int(ckpt.get("colsnap_n", 0))
+    if not n:
+        return
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        mapper.params["col"])
+    snaps = []
+    for i in range(n):
+        leaves = []
+        for path, leaf in flat:
+            key = "/".join(str(p.key) if hasattr(p, "key") else str(p.idx)
+                           for p in path)
+            arr = ckpt.get(f"colsnap/{key}")
+            leaves.append(arr[i] if arr is not None else np.asarray(leaf))
+        snaps.append(jax.tree_util.tree_unflatten(treedef, leaves))
+    mapper.color_decoder_snapshots = snaps
+
+
 def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
     """True mid-run resume (no reference equivalent, SURVEY §5): restore the
     cloud, decoders, pose lists, and rebuild the device keyframe ring from
@@ -124,6 +153,7 @@ def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
             ckpt["exposure_feat_all"].size:
         slam.mapper.exposure_feat_all = list(
             ckpt["exposure_feat_all"].astype(np.float32))
+    restore_color_decoder_snapshots(ckpt, slam.mapper)
 
     # rebuild the keyframe ring from the dataset + restored trajectory;
     # keyframe poses/exposures come from the checkpoint's ring snapshot when

@@ -97,3 +97,21 @@ def test_dp_matches_single_device():
     # positions identical; features agree to reduction-order tolerance
     np.testing.assert_array_equal(p1[:, 64:67], p8[:, 64:67])
     np.testing.assert_allclose(p1[:, :64], p8[:, :64], rtol=2e-3, atol=2e-3)
+
+
+def test_dp8_mapping_with_ray_knn():
+    """The Pallas ray-shared kNN must compose with shard_map/GSPMD ray
+    sharding (interpret mode on the CPU mesh; the real kernel on TPU)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = pmesh.make_mesh(8)
+    pmesh.set_mesh(mesh)
+    try:
+        cfg = tiny_cfg(dp=8)
+        cfg["tpu"]["ray_knn"] = True
+        mapper, stats = run_frames(cfg, n_map=3)
+        assert stats[-1]["n_points"] > 0
+        packed = np.asarray(mapper.cloud.packed[:mapper.n_points_host])
+        assert np.isfinite(packed).all()
+    finally:
+        pmesh.set_mesh(None)

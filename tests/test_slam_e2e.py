@@ -144,6 +144,24 @@ def test_sensor_holes_and_exposure(tmp_path):
     ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
                        align=False)
     assert ate["absolute_translational_error.rmse"] < 0.20, ate
+    # per-frame color-decoder snapshots (src/Mapper.py:631-635) exist and
+    # roundtrip through the checkpoint
+    n_snaps = len(slam.mapper.color_decoder_snapshots)
+    assert n_snaps == len(slam.mapper.exposure_feat_all)
+    from point_slam_tpu.utils.logger import (
+        load_checkpoint, save_checkpoint, restore_color_decoder_snapshots)
+    import jax
+    path = str(tmp_path / "expo_ck.npz")
+    save_checkpoint(path, slam)
+    orig = slam.mapper.color_decoder_snapshots
+    slam.mapper.color_decoder_snapshots = []
+    restore_color_decoder_snapshots(load_checkpoint(path), slam.mapper)
+    restored = slam.mapper.color_decoder_snapshots
+    assert len(restored) == n_snaps
+    for a, b in zip(jax.tree.leaves(orig[0]), jax.tree.leaves(restored[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(orig[-1]), jax.tree.leaves(restored[-1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_checkpoint_roundtrip(slam_run, tmp_path):
