@@ -172,7 +172,7 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
 # cells per SAMPLE (grid_knn: 27*ns rows gathered per ray), probe the 4x4x4
 # cell box around the ray's sample bbox (+1-cell margin) ONCE per ray:
 # ~2.1x fewer gathered rows at mapping scale. The d2 + top-k stage over the
-# shared (64*C)-candidate set would blow up XLA (materialized (R, ns, 64*C)
+# shared (P*C)-candidate set would blow up XLA (materialized (R, ns, 64*C)
 # intermediates); a Pallas kernel does it in VMEM:
 #
 #   * per sample: d2 against the ray's candidates, then top-k by iterative
@@ -186,22 +186,57 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
 # Rays whose samples span >2 cells on an axis (uniform sampling of
 # depth-free rays) don't fit the box; they're flagged `compact=False` and
 # the caller routes them through per-sample grid_knn.
-# Measured (profiling/knn_pallas2.py, 5000 rays x 5 samples, 300k points):
-# 8.7 ms vs 16.1 ms for per-sample grid_knn, top-8 dist-set parity 99.74%.
+# Measured (profiling/knn_pallas2.py + knn_pallas3.py, 5000 rays x 5
+# samples, 300k points): 7.3 ms vs 16.1 ms for per-sample grid_knn with
+# pattern-compacted probes (P=48), top-8 dist-set parity 99.95%.
 # ------------------------------------------------------------------
 
-_BOX = 4  # probed cells per axis
+_BOX = 4   # probed cells per axis
+_P_RAY = 48  # compacted probe-slot budget per ray (covers every extent
+             # pattern except (4,4,4), which drops its 16 outermost corner
+             # cells — center-out ordering below)
 _OFF_BOX = jnp.array(
     [[x, y, z] for x in range(_BOX) for y in range(_BOX) for z in range(_BOX)],
     dtype=jnp.int32)                                         # (64, 3)
 _RAY_BLK = 32
 
 
+def _build_probe_perms():
+    """Static per-pattern compaction tables.
+
+    The validity pattern of the 64 box offsets depends only on the per-axis
+    extents in {3, 4} — 8 patterns. For each, a permutation puts the valid
+    offsets first (ordered center-out so truncation drops corner cells);
+    slots past the pattern's valid count are masked to the sentinel. This
+    turns probe compaction into 8 static reindexings + one flat row gather
+    (sort/scatter-based compaction costs more than the rows it saves).
+    """
+    import numpy as _np
+    off = _np.array([[x, y, z] for x in range(_BOX) for y in range(_BOX)
+                     for z in range(_BOX)], _np.int64)
+    perms = _np.zeros((8, _P_RAY), _np.int32)
+    n_valid = _np.zeros(8, _np.int32)
+    for pat in range(8):
+        ex, ey, ez = (pat >> 2 & 1) + 3, (pat >> 1 & 1) + 3, (pat & 1) + 3
+        ok = (off[:, 0] < ex) & (off[:, 1] < ey) & (off[:, 2] < ez)
+        center = (_np.array([ex, ey, ez]) - 1) / 2.0
+        d = _np.abs(off - center).max(1) + 1e-3 * _np.abs(off - center).sum(1)
+        order = _np.lexsort((_np.arange(off.shape[0]), d, ~ok))
+        perms[pat] = order[:_P_RAY]
+        n_valid[pat] = min(int(ok.sum()), _P_RAY)
+    slot_ok = _np.arange(_P_RAY)[None, :] < n_valid[:, None]
+    return jnp.asarray(perms), jnp.asarray(slot_ok)
+
+
+_PROBE_PERMS, _PROBE_SLOT_OK = _build_probe_perms()
+
+
 def _box_probes(q: jnp.ndarray, cell_size, table_size: int):
     """Per-ray probe buckets over the sample bbox +1 margin.
 
-    q: (R, ns, 3). Returns (probes (R, 64) int32 with sentinel=table_size
-    for out-of-extent/duplicate buckets, compact (R,) bool).
+    q: (R, ns, 3). Returns (probes (R, _P_RAY) int32 with
+    sentinel=table_size for out-of-extent/duplicate buckets,
+    compact (R,) bool).
     """
     r = q.shape[0]
     qc = jnp.floor(q / cell_size).astype(jnp.int32)          # (R,ns,3)
@@ -211,14 +246,19 @@ def _box_probes(q: jnp.ndarray, cell_size, table_size: int):
     # cells stay covered up to span _BOX-2); flag the ray non-compact
     start = jnp.where(cmax - cmin + 1 > _BOX, cmin + 1, cmin)
     compact = jnp.all(cmax - cmin + 1 <= _BOX, axis=-1)
+    ext = jnp.clip(cmax - start + 1, 3, 4)
+    pattern = (ext[:, 0] - 3) * 4 + (ext[:, 1] - 3) * 2 + (ext[:, 2] - 3)
     cells = start[:, None, :] + _OFF_BOX[None]               # (R,64,3)
-    ok = jnp.all(_OFF_BOX[None] <= (cmax - start)[:, None, :], axis=-1)
     h = _hash_cells(cells, table_size).astype(jnp.int32)
-    h = jnp.where(ok, h, table_size)
-    n_off = _OFF_BOX.shape[0]
-    dup = (h[:, :, None] == h[:, None, :]) & (
-        jnp.arange(n_off)[None, :, None] > jnp.arange(n_off)[None, None, :])
-    return jnp.where(jnp.any(dup, axis=-1), table_size, h), compact
+    stack = jnp.stack([jnp.where(_PROBE_SLOT_OK[p],
+                                 h[:, _PROBE_PERMS[p]], table_size)
+                       for p in range(8)])                   # (8,R,_P_RAY)
+    flat = stack.reshape(8 * r, _P_RAY)
+    hp = flat[pattern * r + jnp.arange(r, dtype=jnp.int32)]
+    dup = (hp[:, :, None] == hp[:, None, :]) & (
+        jnp.arange(_P_RAY)[None, :, None]
+        > jnp.arange(_P_RAY)[None, None, :])
+    return jnp.where(jnp.any(dup, axis=-1), table_size, hp), compact
 
 
 def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
@@ -267,8 +307,7 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
     q = q_rays.astype(jnp.float32)
     table_size = index.table_size
     c = index.max_per_cell
-    n_off = _OFF_BOX.shape[0]
-    pc = n_off * c
+    pc = _P_RAY * c
     lane_mask = (1 << (pc - 1).bit_length()) - 1
 
     pad = (-r) % _RAY_BLK
@@ -277,7 +316,7 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
     rp = r + pad
 
     probes, compact = _box_probes(q, index.cell_size, table_size)
-    blocks = index.table[probes]                             # (R,64,C,4)
+    blocks = index.table[probes]                             # (R,P,C,4)
     cand = jnp.transpose(blocks, (0, 3, 1, 2)).reshape(rp, 4 * pc)
 
     bs_c = pl.BlockSpec((_RAY_BLK, 4 * pc), lambda i: (i, 0),
