@@ -13,3 +13,19 @@ multi-chip scaling.
 """
 
 __version__ = "0.1.0"
+
+# Honor JAX_PLATFORMS even when a site-installed PJRT plugin registration
+# has already pinned jax_platforms (env vars are ignored once a plugin's
+# register() ran — observed with the remote-TPU tunnel in this image, where
+# a wedged tunnel then hangs CPU-intended runs at device init). Enforcing
+# the requested platform here makes every CLI (run.py, tools/*) respect
+# `JAX_PLATFORMS=cpu ...` deterministically.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - config name changes across jax
+        pass

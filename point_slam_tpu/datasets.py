@@ -196,6 +196,15 @@ class Synthetic(BaseDataset):
         self.noise = syn.get("depth_noise", 0.0)
         self.dropout = syn.get("depth_dropout", 0.0)  # fraction of zero-depth
         self.seed = syn.get("seed", 7)
+        # interior objects + texture sharpness: an EMPTY smooth-textured box
+        # is a pathological tracking scene (translation along a planar wall
+        # is constrained only by low-frequency color), unlike Replica rooms;
+        # n_objects > 0 places analytic spheres/boxes as "furniture".
+        # Defaults (0 objects, freq 1, detail 0) keep legacy frames bit-exact.
+        self.n_objects = int(syn.get("objects", 0))
+        self.tex_freq = float(syn.get("texture_freq", 1.0))
+        self.tex_detail = float(syn.get("texture_detail", 0.0))
+        self.spheres, self.boxes = self._place_objects()
         # per-frame angular step; default sweeps 0.6 turns over >=60 frames so
         # inter-frame motion stays SLAM-trackable (a few cm, Replica-like)
         self.ang_step = syn.get("angular_step",
@@ -226,13 +235,153 @@ class Synthetic(BaseDataset):
         c2w[:3, 3] = eye
         return c2w
 
-    def _color_field(self, pts):
-        """Smooth procedural 3D texture in [0,1]^3."""
-        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    def _place_objects(self):
+        """Deterministic interior furniture: alternating spheres and boxes.
+
+        Kept clear of the camera orbit (radius 0.8 in xz, |y| <= 0.25) so no
+        pose ever starts inside an object. Returns (spheres (S,4) cx cy cz r,
+        boxes (B,6) lo xyz + hi xyz).
+        """
+        spheres, boxes = [], []
+        if self.n_objects > 0:
+            rng = np.random.default_rng(self.seed * 31 + 5)
+            for k in range(self.n_objects):
+                ang = rng.uniform(0, 2 * np.pi)
+                rad = rng.uniform(1.4, 2.3)
+                c = np.array([rad * np.cos(ang) * self.box[0] / 3.0,
+                              rng.uniform(-1.4, 0.9),
+                              rad * np.sin(ang) * self.box[2] / 3.0])
+                c = np.clip(c, -self.box + 0.55, self.box - 0.55)
+                if np.hypot(c[0], c[2]) < 1.35:
+                    c[[0, 2]] *= 1.35 / max(np.hypot(c[0], c[2]), 1e-6)
+                size = rng.uniform(0.22, 0.48)
+                if k % 2 == 0:
+                    spheres.append([c[0], c[1], c[2], size])
+                else:
+                    half = rng.uniform(0.18, 0.42, 3)
+                    boxes.append(list(c - half) + list(c + half))
+        return (np.asarray(spheres, np.float64).reshape(-1, 4),
+                np.asarray(boxes, np.float64).reshape(-1, 6))
+
+    def _cast(self, ro, rd, t_wall):
+        """Nearest hit among wall exit and interior objects.
+
+        Returns (t, obj_id) with obj_id 0 = walls, 1.. = objects (ordered
+        spheres then boxes). t stays in the planar-z ray parameterization.
+        """
+        t_best = t_wall
+        obj = np.zeros(t_wall.shape, np.int32)
+        oid = 1
+        for cx, cy, cz, r in self.spheres:
+            oc = ro - np.array([cx, cy, cz])
+            a = (rd * rd).sum(-1)
+            b = 2.0 * (rd * oc).sum(-1)
+            cq = (oc * oc).sum() - r * r
+            disc = b * b - 4 * a * cq
+            with np.errstate(invalid="ignore"):
+                t_hit = (-b - np.sqrt(np.maximum(disc, 0.0))) / (2 * a)
+            ok = (disc > 0) & (t_hit > 1e-6) & (t_hit < t_best)
+            t_best = np.where(ok, t_hit, t_best)
+            obj = np.where(ok, oid, obj)
+            oid += 1
+        for lo_hi in self.boxes:
+            lo, hi = lo_hi[:3], lo_hi[3:]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = (lo - ro) / rd
+                tb = (hi - ro) / rd
+            t_near = np.maximum(np.minimum(ta, tb).max(-1), 1e-6)
+            t_far = np.maximum(ta, tb).min(-1)
+            ok = (t_near < t_far) & (t_near < t_best)
+            t_best = np.where(ok, t_near, t_best)
+            obj = np.where(ok, oid, obj)
+            oid += 1
+        return t_best, obj
+
+    def _color_field(self, pts, obj_id=None):
+        """Procedural 3D texture in [0,1]^3; objects get albedo contrast."""
+        f = self.tex_freq
+        x, y, z = pts[..., 0] * f, pts[..., 1] * f, pts[..., 2] * f
         r = 0.5 + 0.25 * np.sin(2.1 * x) * np.cos(1.3 * z) + 0.25 * np.sin(3.7 * y)
         g = 0.5 + 0.25 * np.cos(1.7 * x + 2.0 * y) + 0.25 * np.sin(2.9 * z)
         b = 0.5 + 0.25 * np.sin(1.1 * x + 1.9 * z) + 0.25 * np.cos(2.3 * y)
-        return np.clip(np.stack([r, g, b], -1), 0.0, 1.0)
+        col = np.stack([r, g, b], -1)
+        if self.tex_detail > 0:
+            d = self.tex_detail
+            col = col + d * np.stack(
+                [np.sin(9.7 * x + 3.1 * np.sin(2.9 * y)) * np.cos(8.3 * z),
+                 np.sin(11.3 * y + 2.7 * np.cos(3.7 * z)) * np.cos(7.9 * x),
+                 np.sin(8.9 * z + 3.3 * np.sin(3.1 * x)) * np.cos(10.1 * y)],
+                -1) * 0.5
+        if obj_id is not None and (len(self.spheres) or len(self.boxes)):
+            # per-object albedo tint: stable hue shifts keyed by object id
+            n_obj = len(self.spheres) + len(self.boxes) + 1
+            rng = np.random.default_rng(self.seed * 17 + 3)
+            palette = 0.55 + 0.45 * rng.uniform(size=(n_obj, 3))
+            palette[0] = 1.0  # walls keep the raw field
+            col = col * palette[obj_id]
+        return np.clip(col, 0.0, 1.0)
+
+    def gt_mesh(self, subdiv=64, sphere_res=48):
+        """Analytic ground-truth surface: walls + interior objects.
+
+        Triangulated for reconstruction eval (tools/eval_recon); exact by
+        construction, so F-score/depth-L1 against it measure the SLAM +
+        meshing stack with no GT uncertainty.
+        """
+        verts, faces = [], []
+
+        def add_quad_grid(origin, du, dv, n):
+            base = sum(len(v) for v in verts)
+            g = []
+            for a in range(n + 1):
+                for b in range(n + 1):
+                    g.append(origin + du * (a / n) + dv * (b / n))
+            f = []
+            for a in range(n):
+                for b in range(n):
+                    i0 = base + a * (n + 1) + b
+                    f.extend([[i0, i0 + 1, i0 + n + 1],
+                              [i0 + 1, i0 + n + 2, i0 + n + 1]])
+            verts.append(np.asarray(g, np.float64))
+            faces.append(np.asarray(f, np.int64))
+
+        def add_box(lo, hi, n=8):
+            lo = np.asarray(lo, np.float64)
+            hi = np.asarray(hi, np.float64)
+            d = hi - lo
+            ex = np.array([d[0], 0, 0])
+            ey = np.array([0, d[1], 0])
+            ez = np.array([0, 0, d[2]])
+            add_quad_grid(lo, ey, ez, n)
+            add_quad_grid(lo + ex, ey, ez, n)
+            add_quad_grid(lo, ex, ez, n)
+            add_quad_grid(lo + ey, ex, ez, n)
+            add_quad_grid(lo, ex, ey, n)
+            add_quad_grid(lo + ez, ex, ey, n)
+
+        add_box(-self.box, self.box, n=subdiv)
+        for cx, cy, cz, r in self.spheres:
+            base = sum(len(v) for v in verts)
+            th = np.linspace(0, np.pi, sphere_res // 2 + 1)
+            ph = np.linspace(0, 2 * np.pi, sphere_res + 1)
+            T, P = np.meshgrid(th, ph, indexing="ij")
+            sv = np.stack([cx + r * np.sin(T) * np.cos(P),
+                           cy + r * np.cos(T),
+                           cz + r * np.sin(T) * np.sin(P)], -1).reshape(-1, 3)
+            nt, nph = T.shape
+            f = []
+            for a in range(nt - 1):
+                for b in range(nph - 1):
+                    i0 = base + a * nph + b
+                    f.extend([[i0, i0 + nph, i0 + 1],
+                              [i0 + 1, i0 + nph, i0 + nph + 1]])
+            verts.append(sv)
+            faces.append(np.asarray(f, np.int64))
+        for lo_hi in self.boxes:
+            add_box(lo_hi[:3], lo_hi[3:], n=8)
+        v = np.concatenate(verts).astype(np.float32)
+        f = np.concatenate(faces).astype(np.int32)
+        return v, f
 
     def __getitem__(self, index):
         if index not in self._cache:
@@ -250,12 +399,13 @@ class Synthetic(BaseDataset):
                 t1 = (self.box[None, None] - ro) / rd
                 t2 = (-self.box[None, None] - ro) / rd
             t_exit = np.minimum(np.maximum(t1, t2).min(-1), 1e9)
+            t_exit, obj_id = self._cast(ro, rd, t_exit)
             pts = ro + rd * t_exit[..., None]
             depth = t_exit  # z-depth == ray parameter since |dir_z|=1? no:
             # the reference convention treats z_vals as the ray parameter with
             # unnormalized dirs; sensor depth is the distance along the ray
             # parameterization, so t_exit is the correct "depth".
-            color = self._color_field(pts)
+            color = self._color_field(pts, obj_id)
             if self.noise > 0:
                 rng = np.random.default_rng(self.seed + index)
                 depth = depth * (1 + self.noise * rng.standard_normal(depth.shape))
