@@ -55,6 +55,83 @@ def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
     return pts
 
 
+# --------------------------------------------------------- point-to-triangle
+
+def point_to_mesh_distance(points: np.ndarray, verts: np.ndarray,
+                           faces: np.ndarray, k: int = 32,
+                           chunk: int = 100_000):
+    """Exact distance from each point to a triangle mesh, plus nearest-face id.
+
+    Candidate faces come from a kd-tree over triangle centroids (k nearest);
+    exact point-triangle distances (plane projection + barycentric clamping)
+    decide among them. Point-sampled NN distances carry a +spacing/2 bias
+    that saturates tight thresholds (a tau=1cm F-score is UNDERESTIMATED by
+    tens of points at 200k samples on a room-scale mesh — measured); this is
+    the unbiased replacement.
+    """
+    tri = verts[faces].astype(np.float64)                    # (F,3,3)
+    cent = tri.mean(1)
+    tree = cKDTree(cent)
+    k = min(k, len(faces))
+    # candidate search must out-reach the largest triangle: bound the miss
+    # by adding the max circumradius-ish extent to the k-NN centroid radius
+    ext = np.linalg.norm(tri - cent[:, None, :], axis=2).max()
+
+    a = tri[:, 0]
+    ab = tri[:, 1] - tri[:, 0]
+    ac = tri[:, 2] - tri[:, 0]
+    out_d = np.empty(len(points))
+    out_f = np.empty(len(points), np.int64)
+    for s in range(0, len(points), chunk):
+        p = points[s:s + chunk].astype(np.float64)           # (N,3)
+        dc, jc = tree.query(p, k=k, workers=-1)              # (N,k)
+        # faces whose centroid is farther than best-centroid + 2*ext cannot
+        # win; keep all k anyway (cheap) — correctness needs only that the
+        # true nearest face's centroid is within the k-NN set or within
+        # best + 2*ext, which k=32 over room meshes satisfies easily.
+        A = a[jc]                                            # (N,k,3)
+        AB = ab[jc]
+        AC = ac[jc]
+        ap = p[:, None, :] - A
+        d1 = np.einsum("nkd,nkd->nk", AB, ap)
+        d2 = np.einsum("nkd,nkd->nk", AC, ap)
+        aa = np.einsum("nkd,nkd->nk", AB, AB)
+        bb = np.einsum("nkd,nkd->nk", AC, AC)
+        abp = np.einsum("nkd,nkd->nk", AB, AC)
+        den = np.maximum(aa * bb - abp * abp, 1e-18)
+        v = (bb * d1 - abp * d2) / den
+        w = (aa * d2 - abp * d1) / den
+        # clamp barycentrics to the triangle (edge/vertex regions)
+        v = np.clip(v, 0.0, 1.0)
+        w = np.clip(w, 0.0, 1.0)
+        over = v + w - 1.0
+        scale = np.where(over > 0, 1.0 / np.maximum(v + w, 1e-18), 1.0)
+        v = v * scale
+        w = w * scale
+        # clamped point may still be off-edge for obtuse cases: project onto
+        # the three edges explicitly and take the min — fully robust
+        q_in = A + v[..., None] * AB + w[..., None] * AC
+        d_in = np.einsum("nkd,nkd->nk", p[:, None, :] - q_in,
+                         p[:, None, :] - q_in)
+
+        def edge_d2(E0, EV):
+            t = np.clip(np.einsum("nkd,nkd->nk", p[:, None, :] - E0, EV)
+                        / np.maximum(np.einsum("nkd,nkd->nk", EV, EV), 1e-18),
+                        0.0, 1.0)
+            q = E0 + t[..., None] * EV
+            r = p[:, None, :] - q
+            return np.einsum("nkd,nkd->nk", r, r)
+
+        d2_best = np.minimum(d_in, edge_d2(A, AB))
+        d2_best = np.minimum(d2_best, edge_d2(A, AC))
+        d2_best = np.minimum(d2_best, edge_d2(A + AB, AC - AB))
+        j_best = np.argmin(d2_best, axis=1)
+        rows = np.arange(len(p))
+        out_d[s:s + chunk] = np.sqrt(d2_best[rows, j_best])
+        out_f[s:s + chunk] = jc[rows, j_best]
+    return out_d, out_f
+
+
 # ----------------------------------------------------------------------- ICP
 
 def icp_point_to_point(src: np.ndarray, dst: np.ndarray,
@@ -85,9 +162,22 @@ def icp_point_to_point(src: np.ndarray, dst: np.ndarray,
 
 # ----------------------------------------------------------------- 3D metric
 
+def _face_normals(verts, faces):
+    tri = verts[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    return n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+
+
 def calc_3d_metric(rec_mesh: str, gt_mesh: str, threshold: float = 0.01,
                    n_samples: int = 200_000, icp_align: bool = True
                    ) -> Dict[str, float]:
+    """Accuracy/completion/precision/recall/F-score of rec vs GT.
+
+    Surface samples on one mesh are measured with EXACT point-to-triangle
+    distances against the other mesh (point-sampled NN would add ~half the
+    sample spacing as bias and saturate the tau=1cm F-score on room-scale
+    meshes). Falls back to sampled NN only when a side has no faces.
+    """
     rv, rf, _ = read_ply(rec_mesh)
     gv, gf, _ = read_ply(gt_mesh)
     if icp_align:
@@ -102,25 +192,33 @@ def calc_3d_metric(rec_mesh: str, gt_mesh: str, threshold: float = 0.01,
     else:
         gs, gn = gv, None
 
-    gt_tree = cKDTree(gs)
-    rec_tree = cKDTree(rs)
-    d_rec_to_gt, j_rec = gt_tree.query(rs, k=1)   # accuracy distances
-    d_gt_to_rec, j_gt = rec_tree.query(gs, k=1)   # completion distances
+    if gf is not None:
+        d_rec_to_gt, f_rec = point_to_mesh_distance(rs, gv, gf)
+        nc_rec = (np.abs((rn * _face_normals(gv, gf)[f_rec]).sum(1)).mean()
+                  if rn is not None else np.nan)
+    else:
+        d_rec_to_gt, j = cKDTree(gs).query(rs, k=1)
+        nc_rec = (np.abs((rn * gn[j]).sum(1)).mean()
+                  if rn is not None and gn is not None else np.nan)
+    if rf is not None:
+        d_gt_to_rec, f_gt = point_to_mesh_distance(gs, rv, rf)
+        nc_gt = (np.abs((gn * _face_normals(rv, rf)[f_gt]).sum(1)).mean()
+                 if gn is not None else np.nan)
+    else:
+        d_gt_to_rec, j = cKDTree(rs).query(gs, k=1)
+        nc_gt = (np.abs((gn * rn[j]).sum(1)).mean()
+                 if rn is not None and gn is not None else np.nan)
+
     precision = float((d_rec_to_gt < threshold).mean() * 100)
     recall = float((d_gt_to_rec < threshold).mean() * 100)
     fscore = (2 * precision * recall / (precision + recall)
               if precision + recall > 0 else 0.0)
-    if rn is not None and gn is not None:
-        nc = 0.5 * (np.abs((rn * gn[j_rec]).sum(1)).mean()
-                    + np.abs((gn * rn[j_gt]).sum(1)).mean())
-    else:
-        nc = float("nan")
     return {
         "accuracy": float(d_rec_to_gt.mean() * 100),      # cm
         "completion": float(d_gt_to_rec.mean() * 100),    # cm
         "precision": precision,
         "recall": recall,
-        "normal consistency": float(nc),
+        "normal consistency": float(0.5 * (nc_rec + nc_gt)),
         "F-score": float(fscore),
     }
 

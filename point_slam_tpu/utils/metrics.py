@@ -110,13 +110,96 @@ def ms_ssim(img: jnp.ndarray, ref: jnp.ndarray, data_range=1.0) -> float:
 
 _LPIPS_CACHE = {}
 
+# AlexNet-LPIPS weight file: produced by tools/convert_lpips.py from a torch
+# `lpips` install (zero-egress images can't fetch the zoo weights, so the
+# metric activates only when a weights file is present).
+LPIPS_NPZ_ENV = "POINT_SLAM_LPIPS_NPZ"
+_LPIPS_DEFAULT = "weights/lpips_alex.npz"
+
+
+def _conv2d(x, w, b, stride=1, pad=0):
+    out = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out + b.reshape(1, -1, 1, 1)
+
+
+def _maxpool(x, k=3, s=2):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, s, s), "VALID")
+
+
+@jax.jit
+def _lpips_jit(a, b, params):
+    """LPIPS-alex forward: relu1..relu5 taps, unit-normalized channels,
+    squared diffs through calibrated 1x1 linear heads, spatial mean, sum.
+
+    Matches richzhang/PerceptualSimilarity's LPIPS(net='alex') used by the
+    reference via torchmetrics (src/Mapper.py:822-824,866-870)."""
+    shift = params["shift"].reshape(1, 3, 1, 1)
+    scale = params["scale"].reshape(1, 3, 1, 1)
+
+    def feats(x):
+        x = (2.0 * x - 1.0 - shift) / scale
+        taps = []
+        x = jax.nn.relu(_conv2d(x, params["conv0_w"], params["conv0_b"],
+                                stride=4, pad=2))
+        taps.append(x)
+        x = jax.nn.relu(_conv2d(_maxpool(x), params["conv1_w"],
+                                params["conv1_b"], pad=2))
+        taps.append(x)
+        x = jax.nn.relu(_conv2d(_maxpool(x), params["conv2_w"],
+                                params["conv2_b"], pad=1))
+        taps.append(x)
+        x = jax.nn.relu(_conv2d(x, params["conv3_w"], params["conv3_b"],
+                                pad=1))
+        taps.append(x)
+        x = jax.nn.relu(_conv2d(x, params["conv4_w"], params["conv4_b"],
+                                pad=1))
+        taps.append(x)
+        return taps
+
+    fa, fb = feats(a), feats(b)
+    total = 0.0
+    for i, (xa, xb) in enumerate(zip(fa, fb)):
+        na = xa / jnp.sqrt(jnp.sum(xa * xa, 1, keepdims=True) + 1e-10)
+        nb = xb / jnp.sqrt(jnp.sum(xb * xb, 1, keepdims=True) + 1e-10)
+        d2 = (na - nb) ** 2
+        lin = params[f"lin{i}_w"].reshape(1, -1, 1, 1)
+        total = total + jnp.mean(jnp.sum(d2 * lin, axis=1))
+    return total
+
+
+def _load_lpips_params() -> Optional[dict]:
+    if "params" in _LPIPS_CACHE:
+        return _LPIPS_CACHE["params"]
+    import os
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.environ.get(LPIPS_NPZ_ENV,
+                          os.path.join(here, _LPIPS_DEFAULT))
+    params = None
+    if os.path.exists(path):
+        with np.load(path) as z:
+            params = {k: jnp.asarray(z[k]) for k in z.files}
+    _LPIPS_CACHE["params"] = params
+    return params
+
 
 def lpips(img: np.ndarray, ref: np.ndarray) -> Optional[float]:
     """LPIPS (AlexNet) if pretrained weights are available; None otherwise.
 
-    The environment has no torchvision model zoo access (zero egress), so
-    this is best-effort: torchvision + cached weights -> value, else None.
-    """
+    Weight sources, in order: a weights npz (env POINT_SLAM_LPIPS_NPZ or
+    weights/lpips_alex.npz, see tools/convert_lpips.py) evaluated by the
+    pure-JAX forward above; else torchmetrics with a cached model zoo;
+    else None (the environment has no egress to fetch AlexNet weights)."""
+    params = _load_lpips_params()
+    if params is not None:
+        a = jnp.transpose(jnp.clip(jnp.asarray(img, jnp.float32), 0, 1),
+                          (2, 0, 1))[None]
+        b = jnp.transpose(jnp.clip(jnp.asarray(ref, jnp.float32), 0, 1),
+                          (2, 0, 1))[None]
+        return float(_lpips_jit(a, b, params))
     try:
         import torch
         import torchvision  # noqa: F401

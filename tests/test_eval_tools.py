@@ -105,3 +105,33 @@ def test_plot_traj_writes_png(tmp_path):
     out = tmp_path / "traj.png"
     plot_traj(gt, est, str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_lpips_jax_forward(tmp_path, monkeypatch):
+    """Pure-JAX LPIPS activates from a weights npz: zero on identical images,
+    positive on different ones (random but correctly-shaped weights)."""
+    import numpy as np
+    from point_slam_tpu.utils import metrics
+
+    rng = np.random.default_rng(0)
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    w = {"shift": np.array([-0.030, -0.088, -0.188], np.float32),
+         "scale": np.array([0.458, 0.448, 0.450], np.float32)}
+    for i, s in enumerate(shapes):
+        w[f"conv{i}_w"] = (0.1 * rng.standard_normal(s)).astype(np.float32)
+        w[f"conv{i}_b"] = np.zeros(s[0], np.float32)
+        w[f"lin{i}_w"] = rng.uniform(0, 1, s[0]).astype(np.float32)
+    path = tmp_path / "lpips_alex.npz"
+    np.savez(path, **w)
+    monkeypatch.setenv(metrics.LPIPS_NPZ_ENV, str(path))
+    metrics._LPIPS_CACHE.clear()
+
+    img = rng.uniform(0, 1, (96, 128, 3)).astype(np.float32)
+    ref = np.clip(img + 0.1 * rng.standard_normal(img.shape), 0, 1
+                  ).astype(np.float32)
+    same = metrics.lpips(img, img)
+    diff = metrics.lpips(img, ref)
+    metrics._LPIPS_CACHE.clear()
+    assert same is not None and abs(same) < 1e-6
+    assert diff is not None and diff > 1e-4

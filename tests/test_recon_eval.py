@@ -120,3 +120,56 @@ def test_cull_mesh(sphere):
                              cx=49.5, cy=49.5)
     assert 0 < len(f2) < len(f)
     assert len(v2) < len(v)
+
+
+def test_point_to_mesh_distance_exact():
+    """Exact distances against a unit square (two triangles) at z=0."""
+    import numpy as np
+    from point_slam_tpu.tools.eval_recon import point_to_mesh_distance
+    verts = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    pts = np.array([
+        [0.5, 0.5, 0.3],    # above interior -> 0.3
+        [0.5, 0.5, -0.2],   # below interior -> 0.2
+        [2.0, 0.5, 0.0],    # beyond +x edge -> 1.0
+        [-1.0, -1.0, 0.0],  # beyond corner -> sqrt(2)
+        [0.25, 0.75, 0.0],  # on surface -> 0
+        [1.5, 1.5, 1.0],    # corner + height
+    ])
+    d, f = point_to_mesh_distance(pts, verts, faces, k=2)
+    exp = [0.3, 0.2, 1.0, np.sqrt(2), 0.0, np.sqrt(0.25 + 0.25 + 1.0)]
+    np.testing.assert_allclose(d, exp, atol=1e-12)
+
+
+def test_point_to_mesh_distance_matches_dense_sampling():
+    """On a sphere mesh, exact point-to-triangle ~ analytic |r - R| while
+    sampled NN carries a positive bias."""
+    import numpy as np
+    from point_slam_tpu.tools.eval_recon import (point_to_mesh_distance,
+                                                 sample_surface)
+    from scipy.spatial import cKDTree
+    th = np.linspace(0, np.pi, 25)
+    ph = np.linspace(0, 2 * np.pi, 49)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    V = np.stack([np.sin(T) * np.cos(P), np.cos(T),
+                  np.sin(T) * np.sin(P)], -1).reshape(-1, 3)
+    F = []
+    for a in range(24):
+        for b in range(48):
+            i0 = a * 49 + b
+            F.append([i0, i0 + 49, i0 + 1])
+            F.append([i0 + 1, i0 + 49, i0 + 50])
+    F = np.array(F)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2000, 3))
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True) * \
+        rng.uniform(0.8, 1.2, (2000, 1))
+    d_exact, _ = point_to_mesh_distance(pts, V, F)
+    d_true = np.abs(np.linalg.norm(pts, axis=1) - 1.0)
+    # chordal flattening of the coarse sphere mesh bounds the error
+    assert np.abs(d_exact - d_true).max() < 6e-3
+    # sampled-NN at low density shows the bias the exact method removes
+    s = sample_surface(V, F, 2000, seed=3)
+    d_nn, _ = cKDTree(s).query(pts, k=1)
+    assert (d_nn - d_exact).min() > -1e-9     # NN never underestimates
+    assert (d_nn - d_exact).mean() > 0.01     # and is biased at low density

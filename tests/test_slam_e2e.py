@@ -200,3 +200,34 @@ def test_get_model_factory():
                       os.path.join(here, "configs", "point_slam.yaml"))
     params = get_model(cfg)
     assert "geo" in params and "col" in params
+
+
+def test_final_frame_color_refinement(tmp_path):
+    """color_refine on: the last frame reruns the window with doubled iters,
+    geo stage off, frozen color decoder, color_lr/10 (src/Mapper.py:706-736).
+    The run must complete, keep the map NaN-free, and not degrade re-renders.
+    """
+    import jax
+    cfg = e2e_cfg(tmp_path, n=8)
+    cfg["mapping"].update({"color_refine": True, "iters": 10,
+                           "iters_first": 20})
+    slam = PointSLAM(cfg)
+    summary = slam.run()
+    assert summary["n_frames"] == 8
+    packed = np.asarray(slam.mapper.cloud.packed)
+    n = int(slam.mapper.n_points_host)
+    assert n > 100 and np.isfinite(packed[:n]).all()
+    # the refinement keeps decoders usable: a rendered frame stays finite
+    from point_slam_tpu import renderer as R
+    _, color, depth, c2w = slam.dataset[7]
+    import jax.numpy as jnp
+    dep, unc, col = R.render_img(
+        slam.mapper.params, slam.mapper.cloud, slam.mapper.index,
+        jnp.asarray(summary["estimate_c2w_list"][7]),
+        (slam.mapper.ms.fx, slam.mapper.ms.fy, slam.mapper.ms.cx,
+         slam.mapper.ms.cy),
+        (cfg["cam"]["H"], cfg["cam"]["W"]), slam.mapper.rc,
+        jax.random.key(0), gt_depth=jnp.asarray(depth),
+        r_query=jnp.asarray(slam.mapper.radius_maps(jnp.asarray(color))[1]))
+    assert np.isfinite(np.asarray(dep)).all()
+    assert np.isfinite(np.asarray(col)).all()
