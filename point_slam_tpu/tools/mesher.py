@@ -24,7 +24,8 @@ from point_slam_tpu.utils.ply import write_ply
 
 def fuse_renders(render_dir: str, dataset, estimate_c2w_list, every: int,
                  intrinsics, voxel=5.0 / 512.0, sdf_trunc=0.04,
-                 bounds_margin=0.2, verbose=True) -> TSDFVolume:
+                 bounds_margin=0.2, verbose=True,
+                 normal_weighting=False) -> TSDFVolume:
     fx, fy, cx, cy = intrinsics
     depth_files = sorted(glob.glob(os.path.join(render_dir, "depth_*.npy")))
     assert depth_files, f"no renders found in {render_dir}"
@@ -50,7 +51,8 @@ def fuse_renders(render_dir: str, dataset, estimate_c2w_list, every: int,
             pts_hi = np.maximum(pts_hi, pts.max(0))
 
     vol = TSDFVolume.from_bounds(pts_lo, pts_hi, voxel, sdf_trunc,
-                                 margin=bounds_margin)
+                                 margin=bounds_margin,
+                                 normal_weighting=normal_weighting)
     if verbose:
         print(f"TSDF grid {vol.dims} voxels @ {voxel:.4f} m")
 
@@ -82,7 +84,9 @@ def mesh_from_renders(slam, out_dir: str, mesh_path: str,
 
     vol = fuse_renders(render_dir, slam.dataset, slam.estimate_c2w_list,
                        every, (cam["fx"], cam["fy"], cam["cx"], cam["cy"]),
-                       voxel=voxel, verbose=cfg.get("verbose", True))
+                       voxel=voxel, verbose=cfg.get("verbose", True),
+                       normal_weighting=cfg.get("meshing", {}).get(
+                           "normal_weighting", False))
     if clean is None:
         clean = cfg["dataset"] != "replica"
     verts, faces, colors = vol.extract_mesh(

@@ -23,12 +23,18 @@ import jax.numpy as jnp
 
 class TSDFVolume:
     def __init__(self, origin, dims, voxel: float = 5.0 / 512.0,
-                 sdf_trunc: float = 0.04, depth_trunc: float = 30.0):
+                 sdf_trunc: float = 0.04, depth_trunc: float = 30.0,
+                 normal_weighting: bool = False):
         self.origin = np.asarray(origin, np.float32)
         self.dims = tuple(int(d) for d in dims)
         self.voxel = float(voxel)
         self.trunc = float(sdf_trunc)
         self.depth_trunc = float(depth_trunc)
+        # cos(view angle) integration weights (beyond the reference's plain
+        # projective TSDF): slanted observations carry a depth-direction
+        # bias up to trunc*(1/cos-1), so down-weighting them sharpens
+        # oblique walls. Off by default for reference parity.
+        self.normal_weighting = bool(normal_weighting)
         n = int(np.prod(self.dims))
         self.tsdf = jnp.zeros((n,), jnp.float32)
         self.weight = jnp.zeros((n,), jnp.float32)
@@ -38,11 +44,12 @@ class TSDFVolume:
 
     @classmethod
     def from_bounds(cls, lo, hi, voxel=5.0 / 512.0, sdf_trunc=0.04,
-                    margin=0.1):
+                    margin=0.1, normal_weighting: bool = False):
         lo = np.asarray(lo, np.float64) - margin
         hi = np.asarray(hi, np.float64) + margin
         dims = np.maximum(np.ceil((hi - lo) / voxel).astype(int) + 1, 2)
-        return cls(lo, dims, voxel, sdf_trunc)
+        return cls(lo, dims, voxel, sdf_trunc,
+                   normal_weighting=normal_weighting)
 
     def _centers(self, start: int, size: int) -> jnp.ndarray:
         nx, ny, nz = self.dims
@@ -60,6 +67,11 @@ class TSDFVolume:
                           jnp.float32)
         depth = jnp.asarray(depth, jnp.float32)
         color = jnp.asarray(color, jnp.float32)
+        if self.normal_weighting:
+            wmap = _cos_weight_map(depth, float(fx), float(fy),
+                                   float(cx), float(cy))
+        else:
+            wmap = jnp.ones_like(depth)
         n = self.tsdf.shape[0]
         for start in range(0, n, self.chunk):
             size = min(self.chunk, n - start)
@@ -68,7 +80,7 @@ class TSDFVolume:
                 self.tsdf[start:start + size],
                 self.weight[start:start + size],
                 self.color[start:start + size],
-                centers, w2c, depth, color,
+                centers, w2c, depth, color, wmap,
                 float(fx), float(fy), float(cx), float(cy),
                 self.trunc, self.depth_trunc)
             self.tsdf = self.tsdf.at[start:start + size].set(t)
@@ -92,9 +104,33 @@ class TSDFVolume:
         return verts, faces, vcols
 
 
+@jax.jit
+def _cos_weight_map(depth, fx, fy, cx, cy):
+    """Per-pixel |cos| between the surface normal (from depth-image finite
+    differences) and the viewing ray, floored at 0.1 so every observation
+    still contributes. Invalid-depth neighborhoods fall back to weight 1."""
+    h, w = depth.shape
+    jj, ii = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    dirs = jnp.stack([(ii - cx) / fx, -(jj - cy) / fy,
+                      -jnp.ones_like(ii)], -1)
+    pts = dirs * depth[..., None]                            # camera space
+    dx = jnp.roll(pts, -1, axis=1) - jnp.roll(pts, 1, axis=1)
+    dy = jnp.roll(pts, -1, axis=0) - jnp.roll(pts, 1, axis=0)
+    nrm = jnp.cross(dx, dy)
+    nlen = jnp.linalg.norm(nrm, axis=-1)
+    view = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    cos = jnp.abs(jnp.sum(nrm * view, -1)) / jnp.maximum(nlen, 1e-12)
+    ok = ((depth > 0)
+          & (jnp.roll(depth, -1, 1) > 0) & (jnp.roll(depth, 1, 1) > 0)
+          & (jnp.roll(depth, -1, 0) > 0) & (jnp.roll(depth, 1, 0) > 0)
+          & (nlen > 1e-12))
+    return jnp.where(ok, jnp.maximum(cos, 0.1), 1.0)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _integrate_chunk(tsdf, weight, color_acc, centers, w2c, depth_img,
-                     color_img, fx, fy, cx, cy, trunc, depth_trunc):
+                     color_img, wmap, fx, fy, cx, cy, trunc, depth_trunc):
     from point_slam_tpu.common.camera import project_points
     h, w = depth_img.shape
     u, v, z = project_points(centers, w2c, fx, fy, cx, cy)
@@ -108,11 +144,13 @@ def _integrate_chunk(tsdf, weight, color_acc, centers, w2c, depth_img,
     sdf = d - z_depth
     valid = inside & (d > 0) & (d < depth_trunc) & (sdf >= -trunc)
     tsdf_new = jnp.minimum(1.0, sdf / trunc)
-    w_new = weight + 1.0
-    t_out = jnp.where(valid, (tsdf * weight + tsdf_new) / w_new, tsdf)
+    w_obs = wmap[vi, ui]
+    w_new = weight + w_obs
+    t_out = jnp.where(valid, (tsdf * weight + tsdf_new * w_obs) / w_new, tsdf)
     c_pix = color_img[vi, ui]
     c_out = jnp.where(valid[:, None],
-                      (color_acc * weight[:, None] + c_pix) / w_new[:, None],
+                      (color_acc * weight[:, None] + c_pix * w_obs[:, None])
+                      / w_new[:, None],
                       color_acc)
     w_out = jnp.where(valid, w_new, weight)
     return t_out, w_out, c_out

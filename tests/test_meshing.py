@@ -145,3 +145,36 @@ def test_marching_native_matches_numpy():
     o1 = np.lexsort(np.round(v1 / 0.04 * 1e5).astype(np.int64).T)
     o2 = np.lexsort(np.round(v2 / 0.04 * 1e5).astype(np.int64).T)
     np.testing.assert_allclose(c1[o1], c2[o2], atol=1e-6)
+
+
+def test_tsdf_normal_weighting_parity_and_quality():
+    """normal_weighting=True (cos-angle integration weights, beyond the
+    reference's plain projective TSDF) must keep the synthetic-box error at
+    least as small as the default path and produce the same grid shapes."""
+    from point_slam_tpu.config import load_config
+    from point_slam_tpu.datasets import get_dataset
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(here, "configs", "Synthetic", "room.yaml"),
+                      os.path.join(here, "configs", "point_slam.yaml"))
+    cfg["synthetic"].update({"n_frames": 6, "angular_step": 0.3})
+    cfg["cam"].update({"H": 48, "W": 64, "fx": 36.0, "fy": 36.0,
+                       "cx": 31.5, "cy": 23.5})
+    ds = get_dataset(cfg)
+    box = ds.box
+
+    def err(nw):
+        vol = TSDFVolume.from_bounds(-box, box, voxel=0.1, sdf_trunc=0.3,
+                                     margin=0.1, normal_weighting=nw)
+        for i in range(6):
+            _, color, depth, c2w = ds[i]
+            vol.integrate(depth, color, c2w, ds.fx, ds.fy, ds.cx, ds.cy)
+        verts, faces, _ = vol.extract_mesh()
+        assert len(verts) > 100
+        q = np.abs(verts) - box[None, :]
+        outside = np.linalg.norm(np.maximum(q, 0), axis=1)
+        inside = np.minimum(np.max(q, axis=1), 0)
+        return np.abs(outside + inside).mean()
+
+    e0, e1 = err(False), err(True)
+    assert e1 < e0 * 1.25, (e0, e1)   # never substantially worse
+    assert e1 < 0.08
