@@ -21,6 +21,37 @@ from point_slam_tpu.tools.eval_ate import evaluate_ate
 from point_slam_tpu.utils import metrics
 
 
+def eval_reconstruction(slam, cfg, mesh_path: str, out_dir: str
+                        ) -> Dict[str, float]:
+    """3D reconstruction eval vs a GT mesh (src/tools/eval_recon parity).
+
+    GT mesh sources, in order: `meshing.gt_mesh` (a ply path, as the
+    reference's eval_recon CLI takes), else the dataset's analytic
+    `gt_mesh()` (Synthetic). The GT is culled to the estimated trajectory's
+    frusta (the reference's cull_mesh step) before the tau=1cm F-score.
+    Returns {} when no GT surface is available.
+    """
+    from point_slam_tpu.tools.cull_mesh import cull_mesh
+    from point_slam_tpu.tools.eval_recon import calc_3d_metric
+    from point_slam_tpu.utils.ply import write_ply
+
+    gt_path = cfg.get("meshing", {}).get("gt_mesh") or None
+    if gt_path is None and hasattr(slam.dataset, "gt_mesh"):
+        v, f = slam.dataset.gt_mesh()
+        cam = cfg["cam"]
+        n = slam.n_img
+        cv, cf, _ = cull_mesh(v, f, slam.estimate_c2w_list[:n],
+                              H=cam["H"], W=cam["W"], fx=cam["fx"],
+                              fy=cam["fy"], cx=cam["cx"], cy=cam["cy"])
+        gt_path = os.path.join(out_dir, "mesh", "gt_culled.ply")
+        write_ply(gt_path, cv, faces=cf)
+    if gt_path is None or not os.path.exists(gt_path):
+        return {}
+    res = calc_3d_metric(mesh_path, gt_path, threshold=0.01)
+    return {f"recon_{k.replace(' ', '_').replace('-', '_')}": v
+            for k, v in res.items()}
+
+
 def rerender_frames(slam, out_dir: str, save_renders: bool = True,
                     eval_img: Optional[bool] = None) -> Dict[str, Any]:
     """Re-render every mapped frame from the final map (src/Mapper.py:816-899).
@@ -123,10 +154,15 @@ def run_end_of_run_eval(slam, out_dir: str) -> Dict[str, Any]:
         try:
             from point_slam_tpu.tools.mesher import mesh_from_renders
             mesh_path = os.path.join(out_dir, "mesh", "final_mesh.ply")
-            mesh_from_renders(slam, out_dir, mesh_path)
+            mesh_from_renders(slam, out_dir, mesh_path,
+                              voxel=cfg["meshing"].get("voxel",
+                                                       5.0 / 512.0))
             results["mesh"] = mesh_path
             if cfg["meshing"]["eval_rec"]:
-                pass  # F-score vs GT mesh requires the GT asset; see eval_recon
+                rec = eval_reconstruction(slam, cfg, mesh_path, out_dir)
+                if rec:
+                    results.update(rec)
+                    print({k: round(v, 3) for k, v in rec.items()})
         except Exception as e:  # pragma: no cover
             import traceback
             traceback.print_exc()

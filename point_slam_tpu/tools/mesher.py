@@ -73,7 +73,8 @@ def fuse_renders(render_dir: str, dataset, estimate_c2w_list, every: int,
 
 def mesh_from_renders(slam, out_dir: str, mesh_path: str,
                       clean: Optional[bool] = None,
-                      voxel: float = 5.0 / 512.0) -> str:
+                      voxel: float = 5.0 / 512.0,
+                      sdf_trunc: Optional[float] = None) -> str:
     cfg = slam.cfg
     cam = cfg["cam"]
     every = cfg["mapping"]["every_frame"]
@@ -82,9 +83,14 @@ def mesh_from_renders(slam, out_dir: str, mesh_path: str,
         from point_slam_tpu.tools.evaluate import rerender_frames
         rerender_frames(slam, out_dir, save_renders=True, eval_img=False)
 
+    if sdf_trunc is None:
+        # reference: trunc 0.04 m at voxel 5/512 (~4 voxels); keep the band
+        # >= 4 voxels when a coarser grid is configured
+        sdf_trunc = max(0.04, 4.0 * voxel)
     vol = fuse_renders(render_dir, slam.dataset, slam.estimate_c2w_list,
                        every, (cam["fx"], cam["fy"], cam["cx"], cam["cy"]),
-                       voxel=voxel, verbose=cfg.get("verbose", True),
+                       voxel=voxel, sdf_trunc=sdf_trunc,
+                       verbose=cfg.get("verbose", True),
                        normal_weighting=cfg.get("meshing", {}).get(
                            "normal_weighting", False))
     if clean is None:

@@ -231,3 +231,23 @@ def test_final_frame_color_refinement(tmp_path):
         r_query=jnp.asarray(slam.mapper.radius_maps(jnp.asarray(color))[1]))
     assert np.isfinite(np.asarray(dep)).all()
     assert np.isfinite(np.asarray(col)).all()
+
+
+def test_end_of_run_reconstruction_eval(tmp_path):
+    """With reconstruction_datasets including synthetic and eval_rec on, the
+    end-of-run driver meshes the renders and scores F-score against the
+    dataset's analytic GT surface (reference chain src/Mapper.py:901-931)."""
+    cfg = e2e_cfg(tmp_path, n=8)
+    cfg["mapping"].update({"iters": 15, "iters_first": 25})
+    cfg["reconstruction_datasets"] = ["synthetic"]
+    cfg["render_datasets"] = []
+    cfg["meshing"].update({"eval_rec": True, "voxel": 0.06})
+    slam = PointSLAM(cfg)
+    slam.run()
+    from point_slam_tpu.tools.evaluate import run_end_of_run_eval
+    res = run_end_of_run_eval(slam, slam.output)
+    assert "recon_F_score" in res, res
+    assert res["recon_precision"] > 5.0          # coarse voxel, tiny budget
+    assert np.isfinite(res["recon_accuracy"])
+    import os
+    assert os.path.exists(os.path.join(slam.output, "mesh", "gt_culled.ply"))
