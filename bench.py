@@ -36,6 +36,42 @@ def log(msg):
 
 
 def main():
+    # Watchdog: the remote-TPU tunnel in this environment can wedge
+    # indefinitely (observed: device enumeration fine, first collective
+    # hangs). If no frame completes for WATCHDOG_S while measuring, report
+    # the fps measured over the frames that DID complete instead of hanging
+    # the whole round; with no measured frames, exit nonzero.
+    import threading
+    # cold-cache compiles legitimately take many minutes before the first
+    # frame completes; once measuring, frames land every few seconds
+    WATCHDOG_WARMUP_S = 3600.0
+    WATCHDOG_S = 900.0
+    state = {"t_start": None, "t_last": time.time(), "n_done": 0}
+
+    def watchdog():
+        while True:
+            time.sleep(30)
+            limit = WATCHDOG_S if state["t_start"] is not None \
+                else WATCHDOG_WARMUP_S
+            if time.time() - state["t_last"] > limit:
+                if state["t_start"] is not None and state["n_done"] >= 3:
+                    fps = state["n_done"] / (state["t_last"] - state["t_start"])
+                    log(f"WATCHDOG: device stalled; reporting "
+                        f"{state['n_done']} completed frames")
+                    print(json.dumps({
+                        "metric": "tracked+mapped frames/sec "
+                                  "(Replica-room0-scale workload; "
+                                  "partial, device stalled)",
+                        "value": round(fps, 4),
+                        "unit": "frames/sec",
+                        "vs_baseline": round(fps / BASELINE_FPS, 3),
+                    }), flush=True)
+                    os._exit(0)
+                log("WATCHDOG: device stalled before measurement; aborting")
+                os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_compilation_cache_dir",
@@ -84,9 +120,11 @@ def main():
     log(f"  frame 0 mapped in {time.time() - t0:.1f}s "
         f"({slam.mapper.n_points_host} pts)")
 
+    state["t_last"] = time.time()
     for idx in range(1, N_FRAMES):
         if idx == WARMUP_FRAMES:
             t_measure_start = time.time()
+            state["t_start"] = t_measure_start
         color, depth, gt = slam._frame(idx)
         slam.gt_c2w_list[idx] = gt
         color = jax.device_put(jnp.asarray(color))
@@ -105,6 +143,9 @@ def main():
                                        slam.estimate_c2w_list[idx])
             t_map = time.time() - t0
         log(f"  frame {idx}: track {t_track:.2f}s map {t_map:.2f}s")
+        state["t_last"] = time.time()
+        if idx >= WARMUP_FRAMES:
+            state["n_done"] += 1
 
     elapsed = time.time() - t_measure_start
     n_measured = N_FRAMES - WARMUP_FRAMES

@@ -15,6 +15,12 @@ import argparse
 import os
 import sys
 
+# The golden file must be machine-independent: pin the harness to CPU so a
+# refactor check never depends on (or hangs with) the remote-TPU tunnel.
+# Run-to-run determinism ON the TPU is separately covered by the fixed-PRNG
+# design; this harness guards refactors.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
