@@ -187,9 +187,10 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
 # Rays whose samples span >2 cells on an axis (uniform sampling of
 # depth-free rays) don't fit the box; they're flagged `compact=False` and
 # the caller routes them through per-sample grid_knn.
-# Measured (profiling/knn_pallas2.py + knn_pallas3.py, 5000 rays x 5
-# samples, 300k points): 7.3 ms vs 16.1 ms for per-sample grid_knn with
-# pattern-compacted probes (P=48), top-8 dist-set parity 99.95%.
+# Measured (profiling/knn_pallas2/3/5.py, 5000 rays x 5 samples, 300k
+# points): 4.9 ms at the default 36-slot probe budget vs 16.1 ms for
+# per-sample grid_knn, top-8 dist-set parity 99.95% (identical result
+# sets to the full 64-cell box on this workload).
 # ------------------------------------------------------------------
 
 _BOX = 4   # probed cells per axis
