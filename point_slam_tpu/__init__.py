@@ -22,10 +22,13 @@ __version__ = "0.1.0"
 # `JAX_PLATFORMS=cpu ...` deterministically.
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Only ever enforce TOWARD cpu: the hazard is a cpu-intended run landing
+    # on the remote tunnel (and hanging); a remote platform named in the
+    # ambient env must not override an explicit programmatic choice.
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.config.update("jax_platforms", "cpu")
     except Exception:  # pragma: no cover - config name changes across jax
         pass
