@@ -58,7 +58,7 @@ def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
 # --------------------------------------------------------- point-to-triangle
 
 def point_to_mesh_distance(points: np.ndarray, verts: np.ndarray,
-                           faces: np.ndarray, k: int = 32,
+                           faces: np.ndarray, k: int = 48,
                            chunk: int = 100_000):
     """Exact distance from each point to a triangle mesh, plus nearest-face id.
 
@@ -73,10 +73,6 @@ def point_to_mesh_distance(points: np.ndarray, verts: np.ndarray,
     cent = tri.mean(1)
     tree = cKDTree(cent)
     k = min(k, len(faces))
-    # candidate search must out-reach the largest triangle: bound the miss
-    # by adding the max circumradius-ish extent to the k-NN centroid radius
-    ext = np.linalg.norm(tri - cent[:, None, :], axis=2).max()
-
     a = tri[:, 0]
     ab = tri[:, 1] - tri[:, 0]
     ac = tri[:, 2] - tri[:, 0]
@@ -84,11 +80,11 @@ def point_to_mesh_distance(points: np.ndarray, verts: np.ndarray,
     out_f = np.empty(len(points), np.int64)
     for s in range(0, len(points), chunk):
         p = points[s:s + chunk].astype(np.float64)           # (N,3)
-        dc, jc = tree.query(p, k=k, workers=-1)              # (N,k)
-        # faces whose centroid is farther than best-centroid + 2*ext cannot
-        # win; keep all k anyway (cheap) — correctness needs only that the
-        # true nearest face's centroid is within the k-NN set or within
-        # best + 2*ext, which k=32 over room meshes satisfies easily.
+        _, jc = tree.query(p, k=k, workers=-1)               # (N,k)
+        # exactness requires the true nearest face's centroid to rank within
+        # the k nearest centroids; k=48 covers meshes mixing coarse and fine
+        # triangulations (a miss needs >k smaller faces whose centroids all
+        # beat the true face's centroid yet whose surfaces all lose).
         A = a[jc]                                            # (N,k,3)
         AB = ab[jc]
         AC = ac[jc]
