@@ -210,7 +210,42 @@ class Synthetic(BaseDataset):
         self.ang_step = syn.get("angular_step",
                                 2 * np.pi * 0.6 / max(self.n_img, 60))
         self.poses = [self._pose(t) for t in range(self.n_img)]
+        self._enforce_camera_clearance()
         self._cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def _enforce_camera_clearance(self, margin: float = 0.1):
+        """Push interior objects out of the camera path.
+
+        Placement avoids the nominal orbit, but arbitrary seeds/frame counts
+        must never start a pose inside (or grazing) an object — a camera
+        inside a box degenerates its analytic depth to ~0.
+        """
+        if not (len(self.spheres) or len(self.boxes)):
+            return
+        eyes = np.stack([p[:3, 3] for p in self.poses])
+        for s in self.spheres:
+            d = np.linalg.norm(eyes - s[:3], axis=1).min()
+            if d < s[3] + margin:
+                s[3] = max(d - margin, 0.05)
+        keep = []
+        for b in self.boxes:
+            lo, hi = b[:3], b[3:]
+            c = (lo + hi) / 2
+            h = np.maximum((hi - lo) / 2, 1e-6)
+            # per-pose Chebyshev-like ratio in box units; <1 means inside
+            ratios = (np.abs(eyes - c) / (h + margin)).max(1)
+            r_min = ratios.min()
+            if r_min <= 1.0:
+                # shrink so the closest pose clears the margin-padded box
+                f = r_min * 0.9
+                if f < 0.3:
+                    continue                        # too close to save; drop
+                h = h * f
+                b[:3] = c - h
+                b[3:] = c + h
+            keep.append(b)
+        self.boxes = (np.asarray(keep, np.float64).reshape(-1, 6)
+                      if keep else np.zeros((0, 6)))
 
     def _pose(self, t):
         ang = self.ang_step * t
