@@ -65,8 +65,11 @@ def main():
                         "value": round(fps, 4),
                         "unit": "frames/sec",
                         "vs_baseline": round(fps / BASELINE_FPS, 3),
+                        "partial": True,
                     }), flush=True)
-                    os._exit(0)
+                    # distinct nonzero status so automation can tell a
+                    # wedged partial round from a completed benchmark
+                    os._exit(4)
                 log("WATCHDOG: device stalled before measurement; aborting")
                 os._exit(3)
 

@@ -74,27 +74,33 @@ void build_cases() {
   }
 }
 
-struct KeyHash {
-  size_t operator()(const std::uint64_t &k) const {
-    std::uint64_t x = k;
-    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
-    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
-    x ^= x >> 33;
-    return (size_t)x;
+// Exact quantized triple as the weld key: a 64-bit hash alone would weld
+// unrelated vertices on a (vanishingly rare but silent) collision; keeping
+// the triple makes dedup exact like the numpy oracle, with the mix used
+// only as the unordered_map hasher.
+struct WeldKey {
+  std::int64_t x, y, z;
+  bool operator==(const WeldKey &o) const {
+    return x == o.x && y == o.y && z == o.z;
   }
 };
 
-inline std::uint64_t quant_key(const float p[3]) {
-  // quantize to 1e-5 voxel (same as the numpy weld) and pack; coordinates
-  // in a grid are < ~2^12 voxels so 21 bits per axis after offset is ample
-  std::int64_t q[3];
-  for (int i = 0; i < 3; ++i)
-    q[i] = (std::int64_t)llroundf(p[i] * 1e5f) + (1LL << 40);
-  // mix the three 41-bit values into 64 bits via hashing-friendly combine
-  std::uint64_t h = (std::uint64_t)q[0];
-  h = h * 0x9E3779B97F4A7C15ULL ^ (std::uint64_t)q[1];
-  h = h * 0x9E3779B97F4A7C15ULL ^ (std::uint64_t)q[2];
-  return h;
+struct KeyHash {
+  size_t operator()(const WeldKey &k) const {
+    std::uint64_t h = (std::uint64_t)k.x;
+    h = h * 0x9E3779B97F4A7C15ULL ^ (std::uint64_t)k.y;
+    h = h * 0x9E3779B97F4A7C15ULL ^ (std::uint64_t)k.z;
+    h ^= h >> 33; h *= 0xff51afd7ed558ccdULL;
+    h ^= h >> 33;
+    return (size_t)h;
+  }
+};
+
+inline WeldKey quant_key(const float p[3]) {
+  // quantize to 1e-5 voxel (same as the numpy weld)
+  return {(std::int64_t)llroundf(p[0] * 1e5f),
+          (std::int64_t)llroundf(p[1] * 1e5f),
+          (std::int64_t)llroundf(p[2] * 1e5f)};
 }
 
 }  // namespace
@@ -123,7 +129,7 @@ long ps_marching_tetra(const float *sdf, const float *weight,
   std::vector<float> verts;     // welded, voxel units
   std::vector<float> vcols;
   std::vector<int> faces;
-  std::unordered_map<std::uint64_t, int, KeyHash> weld;
+  std::unordered_map<WeldKey, int, KeyHash> weld;
   weld.reserve(1 << 16);
 
   const long syx = ny * nz, sy = nz;
@@ -221,7 +227,7 @@ long ps_marching_tetra(const float *sdf, const float *weight,
             int fidx[3];
             for (int e = 0; e < 3; ++e) {
               const float *pt = p[order[e]];
-              std::uint64_t key = quant_key(pt);
+              WeldKey key = quant_key(pt);
               auto it = weld.find(key);
               if (it == weld.end()) {
                 int id = (int)(verts.size() / 3);

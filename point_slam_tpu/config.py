@@ -33,7 +33,7 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # at Replica-like density), and the
                                           # kNN gather cost is linear in this
         "grid_table_size": 1 << 16,       # cell-table buckets (table memory =
-                                          # buckets * cap * 16B; 64k*96 = 100MB)
+                                          # buckets * cap * 16B; 64k*64 = 67MB)
         "dtype": "float32",
         "data_parallel": 1,               # number of devices to shard ray batches over
         "max_iters_per_launch": 200,      # chunk long optimization loops so a

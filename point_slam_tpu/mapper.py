@@ -412,7 +412,6 @@ class Mapper:
 
         cam = cfg["cam"]
         h, w = cam["H"], cam["W"]
-        self.update_cam_applied = False
         mp = cfg["mapping"]
         pcfg = cfg["pointcloud"]
         window = mp["mapping_window_size"] * (2 if n_img > 4000 else 1)

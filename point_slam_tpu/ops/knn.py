@@ -201,6 +201,12 @@ _BOX = 4   # probed cells per axis
 # as an env knob for dataset-specific tuning rather than config because it
 # changes compiled kernel shapes.
 _P_RAY = int(os.environ.get("POINT_SLAM_KNN_PROBES", "36"))
+if not 1 <= _P_RAY <= _BOX ** 3:
+    import warnings
+    warnings.warn(
+        f"POINT_SLAM_KNN_PROBES={_P_RAY} out of range [1, {_BOX ** 3}]; "
+        f"clamping", stacklevel=1)
+    _P_RAY = min(max(_P_RAY, 1), _BOX ** 3)
 _OFF_BOX = jnp.array(
     [[x, y, z] for x in range(_BOX) for y in range(_BOX) for z in range(_BOX)],
     dtype=jnp.int32)                                         # (64, 3)

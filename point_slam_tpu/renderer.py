@@ -135,17 +135,18 @@ def render_rays(params: Dict[str, Any], packed, n_points,
     if rc.ray_knn:
         _, idx, valid, compact = knn.ray_grid_knn(
             index, jax.lax.stop_gradient(pts), k=rc.nn_num)
-        if rc.sample_near_pcl:
-            # depth-free rays can spread samples beyond the probed box;
-            # route the (rare) non-compact rays through per-sample grid_knn
-            # — compact rays' fallback queries are parked far away so their
-            # probes all hit one empty bucket.
-            p_fb = jnp.where(compact[:, None, None], 1.0e6,
-                             jax.lax.stop_gradient(pts)).reshape(-1, 3)
-            d_f, i_f, v_f = knn.grid_knn(index, p_fb, k=rc.nn_num)
-            rep = jnp.repeat(compact, ns)[:, None]
-            idx = jnp.where(rep, idx, i_f)
-            valid = jnp.where(rep, valid, v_f)
+        # Rays whose samples spread beyond the probed box (uniform sampling
+        # of depth-free rays; long-depth rays whose 0.98d-1.02d span exceeds
+        # the 4-cell box) would keep truncated neighbor sets; route those
+        # (rare) non-compact rays through per-sample grid_knn. Compact rays'
+        # fallback queries are parked far away so their probes all hit one
+        # empty bucket, making the pass cheap when every ray is compact.
+        p_fb = jnp.where(compact[:, None, None], 1.0e6,
+                         jax.lax.stop_gradient(pts)).reshape(-1, 3)
+        d_f, i_f, v_f = knn.grid_knn(index, p_fb, k=rc.nn_num)
+        rep = jnp.repeat(compact, ns)[:, None]
+        idx = jnp.where(rep, idx, i_f)
+        valid = jnp.where(rep, valid, v_f)
         nb = packed[idx]                                     # (N,K,PACK_W)
         neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
         # exact distances from winner coordinates (ray_grid_knn's are
