@@ -11,10 +11,12 @@ configs/Replica/replica.yaml.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no runtime numbers (SURVEY §6) and
-cannot run here (CUDA/FAISS). Baseline 0.20 frames/sec is an estimate of the
-reference's Replica throughput from its per-iteration workloads on an
-A100-class GPU (tracking ~33 ms/it, mapping ~60 ms/it -> ~5 s per tracked+
-mapped frame-slot); replace with a measured value when the reference can run.
+cannot run here (CUDA/FAISS). The baseline is DERIVED from the reference's
+iteration schedule x an A100 per-iteration cost range — full arithmetic in
+BASELINE.md ("Runtime baseline derivation"): optimistic-reference 0.31 fps,
+conservative 0.17 fps, central 0.20 fps. vs_baseline uses the central value;
+the optimistic/conservative ratios are reported alongside. Replace with a
+measured value when the reference can run.
 """
 
 import json
@@ -25,7 +27,18 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-BASELINE_FPS = 0.20
+BASELINE_FPS = 0.20          # central estimate (BASELINE.md derivation)
+BASELINE_FPS_FAST = 0.31     # optimistic reference (hurts our ratio)
+BASELINE_FPS_SLOW = 0.17     # conservative reference
+
+
+def _baseline_fields(fps):
+    return {
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "baseline_fps_range": [BASELINE_FPS_SLOW, BASELINE_FPS_FAST],
+        "vs_baseline_optimistic": round(fps / BASELINE_FPS_FAST, 3),
+        "vs_baseline_conservative": round(fps / BASELINE_FPS_SLOW, 3),
+    }
 
 N_FRAMES = 18
 WARMUP_FRAMES = 7   # includes first-frame mapping + first tracked/mapped pair
@@ -64,7 +77,7 @@ def main():
                                   "partial, device stalled)",
                         "value": round(fps, 4),
                         "unit": "frames/sec",
-                        "vs_baseline": round(fps / BASELINE_FPS, 3),
+                        **_baseline_fields(fps),
                         "partial": True,
                     }), flush=True)
                     # distinct nonzero status so automation can tell a
@@ -124,26 +137,36 @@ def main():
         f"({slam.mapper.n_points_host} pts)")
 
     state["t_last"] = time.time()
-    for idx in range(1, N_FRAMES):
+    from point_slam_tpu.utils.prefetch import FramePrefetcher
+
+    def _stage(item):
+        # device upload in the worker thread, like the production loop
+        i, color, depth, c2w = item
+        return (i, jax.device_put(jnp.asarray(color)),
+                jax.device_put(jnp.asarray(depth)), c2w)
+
+    prefetcher = FramePrefetcher(slam.dataset, depth=2, start=1,
+                                 stop=N_FRAMES, stage=_stage)
+    for frame_idx, color, depth, gt in prefetcher:
+        idx = int(frame_idx)
         if idx == WARMUP_FRAMES:
             t_measure_start = time.time()
             state["t_start"] = t_measure_start
-        color, depth, gt = slam._frame(idx)
+        gt = np.asarray(gt)
         slam.gt_c2w_list[idx] = gt
-        color = jax.device_put(jnp.asarray(color))
-        depth = jax.device_put(jnp.asarray(depth))
-        r_add, r_query, _, _ = slam.mapper.radius_maps(color)
+        radius = slam.mapper.radius_maps(color)
         t0 = time.time()
         res = slam.tracker.track_frame(idx, color, depth, gt,
                                        slam.estimate_c2w_list, slam.mapper,
-                                       r_query)
+                                       radius[1])
         slam.estimate_c2w_list[idx] = res["c2w"]
         t_track = time.time() - t0
         t_map = 0.0
         if idx % every == 0 or idx == N_FRAMES - 1:
             t0 = time.time()
             st = slam.mapper.map_frame(idx, color, depth, gt,
-                                       slam.estimate_c2w_list[idx])
+                                       slam.estimate_c2w_list[idx],
+                                       radius=radius)
             t_map = time.time() - t0
         log(f"  frame {idx}: track {t_track:.2f}s map {t_map:.2f}s")
         state["t_last"] = time.time()
@@ -164,7 +187,7 @@ def main():
         "metric": "tracked+mapped frames/sec (Replica-room0-scale workload)",
         "value": round(fps, 4),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        **_baseline_fields(fps),
     }), flush=True)
 
 

@@ -40,6 +40,13 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # single device program stays under
                                           # the runtime watchdog
         "keyframe_device_budget": 400,    # max keyframes held on device
+        "keyframe_host_ring": "auto",     # keep keyframe images host-side,
+                                          # uploading only the selected window
+                                          # per mapped frame: True | False |
+                                          # 'auto' (host when the expected
+                                          # keyframe count exceeds the device
+                                          # budget). Lifts the budget cap for
+                                          # ScanNet-length sequences.
         "profile_dir": None,              # set to a path to capture a
                                           # jax.profiler trace of the run
     },

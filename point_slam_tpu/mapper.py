@@ -61,36 +61,138 @@ class MapperStatic(NamedTuple):
 
 
 class KeyframeRing(NamedTuple):
+    """Device-resident keyframe *images* (poses/exposures live host-side in
+    KeyframeStore — BA pose refinements have a single source of truth)."""
     color: jnp.ndarray     # (K, H, W, 3)
     depth: jnp.ndarray     # (K, H, W)
     r_query: jnp.ndarray   # (K, H, W)
-    est_c2w: jnp.ndarray   # (K, 4, 4)
-    gt_c2w: jnp.ndarray    # (K, 4, 4)
-    exposure: jnp.ndarray  # (K, 8)
 
 
-def init_ring(k: int, h: int, w: int, exposure_dim: int = 8) -> KeyframeRing:
+def init_ring(k: int, h: int, w: int) -> KeyframeRing:
     return KeyframeRing(
         color=jnp.zeros((k, h, w, 3), jnp.float32),
         depth=jnp.zeros((k, h, w), jnp.float32),
         r_query=jnp.full((k, h, w), 1e6, jnp.float32),
-        est_c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (k, 1, 1)),
-        gt_c2w=jnp.tile(jnp.eye(4, dtype=jnp.float32), (k, 1, 1)),
-        exposure=jnp.zeros((k, exposure_dim), jnp.float32),
     )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
-def ring_set(ring: KeyframeRing, slot, color, depth, r_query, est_c2w, gt_c2w,
-             exposure) -> KeyframeRing:
+def ring_set(ring: KeyframeRing, slot, color, depth, r_query) -> KeyframeRing:
     return KeyframeRing(
         color=ring.color.at[slot].set(color),
         depth=ring.depth.at[slot].set(depth),
         r_query=ring.r_query.at[slot].set(r_query),
-        est_c2w=ring.est_c2w.at[slot].set(est_c2w),
-        gt_c2w=ring.gt_c2w.at[slot].set(gt_c2w),
-        exposure=ring.exposure.at[slot].set(exposure),
     )
+
+
+class KeyframeStore:
+    """Keyframe database. Poses/exposures (small) are host numpy; images go
+    to one of two backends:
+
+    * device ring (default for short sequences): all keyframe images live in
+      HBM, the window is a device gather — zero per-frame upload.
+    * host ring (``tpu.keyframe_host_ring``: true, or 'auto' when the
+      expected keyframe count exceeds ``tpu.keyframe_device_budget``):
+      images stay in host memory and only the selected window
+      (<= 2*mapping_window_size+2 slots) is uploaded per mapped frame.
+      This lifts the device-budget cap for ScanNet-length sequences — the
+      reference likewise keeps keyframe images on CPU
+      (src/Mapper.py:741-751).
+
+    Appending past a full device ring raises instead of silently dropping
+    the keyframe.
+    """
+
+    def __init__(self, cfg, h: int, w: int, n_img: int, exposure_dim: int,
+                 keyframe_every: int):
+        tpu = cfg["tpu"]
+        expected = n_img // max(keyframe_every, 1) + 4
+        budget = int(tpu["keyframe_device_budget"])
+        mode = tpu.get("keyframe_host_ring", "auto")
+        self.host_mode = (expected > budget if mode == "auto" else bool(mode))
+        self.h, self.w = h, w
+        self.exposure_dim = exposure_dim
+        self.est_c2w = []      # list of (4,4) f32 — BA writes back here
+        self.gt_c2w = []
+        self.exposure = []
+        self.frames = []       # host mode: list of dict(color, depth, r_query)
+        if not self.host_mode:
+            self.capacity = max(min(budget, expected), 4)
+            self.ring = init_ring(self.capacity, h, w)
+
+    def __len__(self):
+        return len(self.est_c2w)
+
+    def append(self, color_dev, depth_dev, r_query_dev, est_c2w, gt_c2w,
+               exposure) -> None:
+        slot = len(self.est_c2w)
+        if self.host_mode:
+            self.frames.append(dict(
+                color=np.asarray(color_dev, np.float32),
+                depth=np.asarray(depth_dev, np.float32),
+                r_query=np.asarray(r_query_dev, np.float32)))
+        else:
+            if slot >= self.capacity:
+                raise RuntimeError(
+                    f"keyframe ring overflow: keyframe #{slot + 1} exceeds "
+                    f"the device ring capacity {self.capacity} "
+                    f"(tpu.keyframe_device_budget). Set "
+                    f"tpu.keyframe_host_ring: true (or leave it 'auto') to "
+                    f"keep keyframe images in host memory.")
+            self.ring = ring_set(self.ring, jnp.asarray(slot), color_dev,
+                                 depth_dev, r_query_dev)
+        self.est_c2w.append(np.asarray(est_c2w, np.float32))
+        self.gt_c2w.append(np.asarray(gt_c2w, np.float32))
+        self.exposure.append(np.asarray(exposure, np.float32))
+
+    def set_est_c2w(self, slot: int, c2w) -> None:
+        self.est_c2w[slot] = np.asarray(c2w, np.float32)
+
+    def est_c2w_array(self) -> np.ndarray:
+        return (np.stack(self.est_c2w) if self.est_c2w
+                else np.zeros((0, 4, 4), np.float32))
+
+    def exposure_array(self) -> np.ndarray:
+        return (np.stack(self.exposure) if self.exposure
+                else np.zeros((0, self.exposure_dim), np.float32))
+
+    def est_c2w_padded(self, min_pad: int = 64) -> jnp.ndarray:
+        """(K',4,4) device poses padded to power-of-two shapes so the
+        overlap-score jit recompiles O(log K) times over a run."""
+        n = len(self.est_c2w)
+        k = max(min_pad, 1 << max(n - 1, 0).bit_length())
+        arr = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))
+        if n:
+            arr[:n] = np.stack(self.est_c2w)
+        return jnp.asarray(arr)
+
+    def gather_window(self, sel, f_max: int):
+        """Window arrays (f_max leading dim) for keyframe slots ``sel``;
+        slots past len(sel) are left as padding (caller writes the current
+        frame at position len(sel); rays from further slots are masked by
+        n_frames)."""
+        if self.host_mode:
+            col = np.zeros((f_max, self.h, self.w, 3), np.float32)
+            dep = np.zeros((f_max, self.h, self.w), np.float32)
+            rq = np.full((f_max, self.h, self.w), 1e6, np.float32)
+            for k, s in enumerate(sel):
+                fr = self.frames[s]
+                col[k], dep[k], rq[k] = fr["color"], fr["depth"], fr["r_query"]
+            w_color = jnp.asarray(col)
+            w_depth = jnp.asarray(dep)
+            w_rq = jnp.asarray(rq)
+        else:
+            slots = jnp.asarray((list(sel) + [0] * (f_max - len(sel)))[:f_max],
+                                jnp.int32)
+            w_color = self.ring.color[slots]
+            w_depth = self.ring.depth[slots]
+            w_rq = self.ring.r_query[slots]
+        c2w = np.tile(np.eye(4, dtype=np.float32), (f_max, 1, 1))
+        exp = np.zeros((f_max, self.exposure_dim), np.float32)
+        for k, s in enumerate(sel):
+            c2w[k] = self.est_c2w[s]
+            exp[k] = self.exposure[s]
+        return w_color, w_depth, w_rq, jnp.asarray(c2w), jnp.asarray(exp)
 
 
 # ------------------------------------------------------------ keyframe overlap
@@ -224,25 +326,33 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
                  params, packed, n_points, index,
                  window_color, window_depth, window_rquery, window_c2w,
                  window_exposure, n_frames, pixs_per_image, cur_slot,
-                 frustum, lr_geo_stage, lr_color_stage, lr_exposure,
+                 sel, lr_geo_stage, lr_color_stage, lr_exposure,
                  fix_color, geo_iter_bound, n_iters, key,
                  it0=None, opt_in=None,
                  cams0=None, ba_mask=None, lr_ba=None,
                  ba_lo=None, ba_hi=None):
     """The per-frame mapping optimization: while_loop over joint iterations.
 
-    The cloud state rides as ONE packed (CAP, 72) leaf (geo|col|pos columns,
-    pointcloud layout): a single neighbor gather in the forward, a single
-    scatter-add in the backward, and a single Adam pass with a per-COLUMN
-    learning-rate row (geometry columns get geometry_lr, color columns
-    color_lr, position columns 0 — positions also carry stop_gradient, so
-    their moments stay exactly zero and they never move).
+    The cloud state rides as ONE packed (CAP, 72) buffer (geo|col|pos
+    columns, pointcloud layout): a single neighbor gather in the forward and
+    a single scatter-add in the backward. The DIFFERENTIABLE leaf is the
+    frustum-compacted row set ``packed[sel]`` (M, 72) — the reference
+    likewise optimizes only the frustum-selected feature rows
+    (src/Mapper.py:342-356) — so the Adam pass (7 HBM sweeps of the
+    param/moment arrays) runs over M rows instead of the full capacity, and
+    no full-buffer gradient mask is needed. Each iteration recomposes the
+    full buffer with one masked scatter (rows outside ``sel`` ride frozen).
+    Per-COLUMN learning-rate row: geometry columns get geometry_lr, color
+    columns color_lr, position columns 0 (positions also carry
+    stop_gradient, so they never move).
+
+    ``sel``: (M,) int32 row indices, padded with out-of-range (>= CAP)
+    entries — padded gathers fill 0, padded scatters drop.
 
     Traced knobs: LR triples [decoders, geometry_feats, color_feats] for each
-    stage, the geometry/color switch iteration, the iteration count, the
-    frustum gradient mask, and a 0/1 multiplier freezing the color decoder
-    (color refinement). Returns updated (params, packed,
-    window_exposure, stats, opt_state, key).
+    stage, the geometry/color switch iteration, the iteration count, and a
+    0/1 multiplier freezing the color decoder (color refinement). Returns
+    updated (params, packed, window_exposure, stats, opt_state, key).
 
     ``it0``/``opt_in`` resume a chunked run: the host splits long frames into
     launches of <= tpu.max_iters_per_launch iterations each (a single XLA
@@ -252,7 +362,9 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
     """
     window = dict(color=window_color, depth=window_depth, r_query=window_rquery)
 
-    diff0 = {"col": params["col"], "packed": packed,
+    rows0 = jnp.take(packed, sel, axis=0, mode="fill", fill_value=0.0,
+                     unique_indices=True, indices_are_sorted=True)
+    diff0 = {"col": params["col"], "rows": rows0,
              "exposure": window_exposure}
     if not ms.fix_geo_decoder:
         diff0["geo"] = params["geo"]
@@ -261,6 +373,10 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
     opt0 = adam.init_state(diff0) if opt_in is None else opt_in
     if it0 is None:
         it0 = jnp.zeros((), jnp.int32)
+
+    def compose_packed(rows):
+        return packed.at[sel].set(rows, mode="drop", unique_indices=True,
+                                  indices_are_sorted=True)
 
     def build_params(diff):
         p = {"col": diff["col"],
@@ -277,7 +393,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
     def loss_fn(diff, rays, it_key, stage_color):
         p = build_params(diff)
-        return _losses(ms, rc, p, diff["packed"],
+        return _losses(ms, rc, p, compose_packed(diff["rows"]),
                        diff["exposure"], n_points, index, rays,
                        window_poses(diff), it_key, stage_color)
 
@@ -304,10 +420,9 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
             lambda d: grad_col(d, rays, k_render),
             diff)
 
-        # gradient masking: frustum-selected features only; exposure only for
-        # the current frame; color decoder frozen during refinement
-        fmask = frustum[:, None].astype(jnp.float32)
-        grads["packed"] = grads["packed"] * fmask
+        # gradient masking: frustum selection is structural (only rows in
+        # ``sel`` are leaves); exposure only for the current frame; color
+        # decoder frozen during refinement
         grads["exposure"] = grads["exposure"] * exp_onehot
         grads["col"] = jax.tree_util.tree_map(lambda g: g * fix_color,
                                               grads["col"])
@@ -343,7 +458,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
         step_group("col", lrs[0], t_col)
         if not ms.fix_geo_decoder:
             step_group("geo", lrs[0], t_geo)
-        step_group("packed", lr_packed, t_packed)
+        step_group("rows", lr_packed, t_packed)
         step_group("exposure", lr_exposure, t_col)
         if ms.ba:
             # BA cams move only in iters [(ratio+0.2)N, (ratio+0.3)N]
@@ -362,7 +477,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
     it_out, diff, opt, key_out, stats = jax.lax.while_loop(cond, body, init)
 
     out_params = build_params(diff)
-    return (out_params, diff["packed"],
+    return (out_params, compose_packed(diff["rows"]),
             diff["exposure"], stats, opt, key_out,
             diff.get("cams"))
 
@@ -448,10 +563,9 @@ class Mapper:
         self.index = pc.build_index(self.cloud, self.cell_size,
                                     self.table_size, self.max_per_cell)
 
-        kf_budget = min(cfg["tpu"]["keyframe_device_budget"],
-                        n_img // max(mp["keyframe_every"], 1) + 4)
-        self.ring = init_ring(max(kf_budget, 4), h, w,
-                              cfg["model"]["exposure_dim"])
+        self.store = KeyframeStore(cfg, h, w, n_img,
+                                   cfg["model"]["exposure_dim"],
+                                   mp["keyframe_every"])
         self.keyframe_list = []          # frame indices
         self.selected_keyframes = {}
         self.exposure_feat = 0.01 * rng.standard_normal(
@@ -459,6 +573,10 @@ class Mapper:
         self.exposure_feat_all = []
         self.color_decoder_snapshots = []   # per mapped frame, exposure only
 
+        # set by the orchestrator when mapping.vis_inside is on: called as
+        # vis_hook(idx, it_prev, it_now, n_iters, cur_c2w) at chunk
+        # boundaries of the optimization loop (src/Mapper.py:441-445 analog)
+        self.vis_hook = None
         self.dyn = cfg["use_dynamic_radius"]
         self.pseed = cfg["setup_seed"]
         self.key = jax.random.key(cfg["setup_seed"])
@@ -518,8 +636,8 @@ class Mapper:
             sel = list(self.rng.permutation(max(n_kf - 1, 0))[:num])
         else:
             scores = np.asarray(overlap_scores(
-                self.ms, self.ring.est_c2w, jnp.asarray(n_kf - 1), cur_c2w,
-                gt_color, gt_depth, self._next_key()))
+                self.ms, self.store.est_c2w_padded(), jnp.asarray(n_kf - 1),
+                cur_c2w, gt_color, gt_depth, self._next_key()))
             qualifying = [k for k in range(n_kf - 1) if scores[k] > 0.0]
             sel = list(self.rng.permutation(qualifying)[:num])
         sel = [int(s) for s in sel] + [n_kf - 1]
@@ -529,16 +647,29 @@ class Mapper:
 
     def map_frame(self, idx: int, gt_color: np.ndarray, gt_depth: np.ndarray,
                   gt_c2w: np.ndarray, cur_c2w: np.ndarray,
-                  color_refine: bool = False) -> Dict[str, float]:
+                  color_refine: bool = False,
+                  radius=None) -> Dict[str, float]:
+        """``radius``: optional precomputed radius_maps(color) tuple — the
+        orchestrator computes it once per frame for the tracker and passes
+        it here to avoid recomputing the Sobel/radius/candidate maps."""
         cfg = self.cfg
         mp = cfg["mapping"]
         init = idx == 0
         self.refine_mode = color_refine
 
+        # optional: freeze the geometry decoder once it has trained for N
+        # frames — approximates the reference's frozen-PRETRAINED decoder
+        # configuration (src/Point_SLAM.py:143-164) when no pretrained
+        # weights exist; A/B'd in profiling/geo_decoder_ab.py
+        fga = mp.get("fix_geo_decoder_after") or 0
+        if fga and not self.ms.fix_geo_decoder and idx >= fga:
+            self.ms = self.ms._replace(fix_geo_decoder=True)
+
         color_dev = jnp.asarray(gt_color)
         depth_dev = jnp.asarray(gt_depth)
         cur_c2w_dev = jnp.asarray(cur_c2w)
-        r_add, r_query, cand_idx, cand_ok = self.radius_maps(color_dev)
+        r_add, r_query, cand_idx, cand_ok = (
+            radius if radius is not None else self.radius_maps(color_dev))
         if cand_ok is not None:
             # candidate pool additionally requires valid depth (common.py:147-153)
             dvals = depth_dev.reshape(-1)[cand_idx]
@@ -586,15 +717,28 @@ class Mapper:
             n_acc_total = int(nvals[0] + nvals[1])
             self.n_points_host = int(nvals[2])
 
-        # ---- frustum feature selection (gradient mask)
+        # ---- frustum feature selection -> compacted row indices
+        # (src/Mapper.py:120-168,342-356: only frustum-visible features are
+        # optimizer leaves). sel_rows is (M,) sorted unique indices, M a
+        # power-of-two bucket (bounded recompiles), padded past the count
+        # with out-of-range values (gather fills 0, scatter drops).
+        cap = self.cloud.pos.shape[0]
         if mp["frustum_feature_selection"] and not color_refine:
             frustum = pc.frustum_mask(
                 self.cloud.pos, self.cloud.n_points,
                 jnp.linalg.inv(cur_c2w_dev), depth_dev,
                 self.ms.fx, self.ms.fy, self.ms.cx, self.ms.cy,
                 self.ms.frustum_edge)
+            n_sel = int(np.asarray(jnp.sum(frustum)))
         else:
-            frustum = jnp.arange(self.cloud.pos.shape[0]) < self.cloud.n_points
+            frustum = jnp.arange(cap) < self.cloud.n_points
+            n_sel = self.n_points_host
+        m_rows = min(1 << max(int(np.ceil(np.log2(max(n_sel, 1024)))), 0), cap)
+        sel_rows = jnp.nonzero(frustum, size=m_rows, fill_value=cap)[0]
+        sel_rows = jnp.where(
+            sel_rows >= cap,
+            cap + jnp.arange(m_rows, dtype=sel_rows.dtype), sel_rows
+        ).astype(jnp.int32)
 
         # ---- iteration budget (src/Mapper.py:404-406,713-726)
         if init:
@@ -639,13 +783,13 @@ class Mapper:
                     {"idx": self.keyframe_list[s]} for s in sel] + [{"idx": idx}]
 
             f = self.ms.f_max
-            slots = jnp.asarray((sel + [0] * (f - len(sel)))[:f], jnp.int32)
-            w_color = self.ring.color[slots].at[len(sel)].set(color_dev)
-            w_depth = self.ring.depth[slots].at[len(sel)].set(depth_dev)
-            w_rq = self.ring.r_query[slots].at[len(sel)].set(r_query)
-            w_c2w = self.ring.est_c2w[slots].at[len(sel)].set(cur_c2w_dev)
-            w_exp = self.ring.exposure[slots].at[len(sel)].set(
-                jnp.asarray(self.exposure_feat))
+            w_color, w_depth, w_rq, w_c2w, w_exp = \
+                self.store.gather_window(sel, f)
+            w_color = w_color.at[len(sel)].set(color_dev)
+            w_depth = w_depth.at[len(sel)].set(depth_dev)
+            w_rq = w_rq.at[len(sel)].set(r_query)
+            w_c2w = w_c2w.at[len(sel)].set(cur_c2w_dev)
+            w_exp = w_exp.at[len(sel)].set(jnp.asarray(self.exposure_feat))
             pixs_per_image = self.ms.r_max // n_frames
 
             # ---- bundle adjustment (src/Mapper.py:375-397,727-737): with
@@ -695,14 +839,20 @@ class Mapper:
                     self.cloud.n_points,
                     self.index, w_color, w_depth, w_rq, w_c2w, w_exp_out,
                     jnp.asarray(n_frames), jnp.asarray(pixs_per_image),
-                    jnp.asarray(len(sel)), frustum, lr_geo, lr_col,
+                    jnp.asarray(len(sel)), sel_rows, lr_geo, lr_col,
                     jnp.asarray(0.001), fix_color, jnp.asarray(geo_bound),
                     jnp.asarray(n_end), key,
                     it0=jnp.asarray(it, jnp.int32), opt_in=opt_state,
                     **ba_kwargs)
                 if ba_on:
                     ba_kwargs["cams0"] = cams_out
-                it = n_end
+                it_prev, it = it, n_end
+                if self.vis_hook is not None and it < n_iters:
+                    # publish the in-progress state so the visualizer
+                    # renders the current map, then fire between launches
+                    self.params = params
+                    self.cloud = self.cloud._replace(packed=packed)
+                    self.vis_hook(idx, it_prev, it, n_iters, cur_c2w_dev)
                 if self.cfg["verbose"]:
                     s = np.asarray(stats_dev)
                     print(f"    [map chunk] it {it}/{n_iters} "
@@ -721,10 +871,8 @@ class Mapper:
                 cams_host = np.asarray(cams_out[:n_frames])
                 new_poses = [camera.pose_matrix_from_tensor_np(c)
                              for c in cams_host]
-                est = self.ring.est_c2w
                 for k, s in enumerate(sel):
-                    est = est.at[s].set(jnp.asarray(new_poses[k]))
-                self.ring = self.ring._replace(est_c2w=est)
+                    self.store.set_est_c2w(s, new_poses[k])
                 cur_c2w = new_poses[len(sel)]
                 cur_c2w_dev = jnp.asarray(cur_c2w)
         if self.ms.encode_exposure:
@@ -740,13 +888,9 @@ class Mapper:
         if ((idx % mp["keyframe_every"] == 0 or idx == self.n_img - 2)
                 and idx not in self.keyframe_list
                 and np.isfinite(gt_c2w).all()):
-            slot = len(self.keyframe_list)
-            if slot < self.ring.color.shape[0]:
-                self.ring = ring_set(
-                    self.ring, jnp.asarray(slot), color_dev, depth_dev,
-                    r_query, cur_c2w_dev, jnp.asarray(gt_c2w),
-                    jnp.asarray(self.exposure_feat))
-                self.keyframe_list.append(idx)
+            self.store.append(color_dev, depth_dev, r_query, cur_c2w,
+                              gt_c2w, self.exposure_feat)
+            self.keyframe_list.append(idx)
 
         out = {"geo_loss": float(stats[0]), "color_loss": float(stats[1]),
                "n_mask": float(stats[2]), "n_added": n_acc_total,

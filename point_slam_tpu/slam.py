@@ -89,12 +89,42 @@ class PointSLAM:
         from point_slam_tpu.utils.visualizer import Visualizer
         self.track_vis = Visualizer(
             cfg["tracking"]["vis_freq"], cfg["tracking"]["vis_inside_freq"],
-            os.path.join(self.output, "tracking_vis"), verbose=self.verbose)
+            os.path.join(self.output, "tracking_vis"), verbose=self.verbose,
+            vis_inside=bool(cfg["tracking"].get("vis_inside", False)))
         self.map_vis = Visualizer(
             cfg["mapping"]["vis_freq"], cfg["mapping"]["vis_inside_freq"],
             os.path.join(self.output, "mapping_vis"), verbose=self.verbose,
+            vis_inside=bool(cfg["mapping"].get("vis_inside", False)),
             img_dir=os.path.join(self.output, "rendered_image")
             if cfg["mapping"]["save_rendered_image"] else None)
+
+        # vis_inside: fire the visualizers from INSIDE the optimization
+        # loops at chunk boundaries (src/Tracker.py:367-371,
+        # src/Mapper.py:441-445)
+        if self.map_vis.vis_inside:
+            self._map_vis_frame = {}
+
+            def _map_hook(idx, it_prev, it_now, n_iters, cur_c2w):
+                depth, color = self._map_vis_frame.get(idx, (None, None))
+                if depth is None:
+                    return
+                self.map_vis.vis_chunk(idx, it_prev, it_now, n_iters,
+                                       self.mapper, cur_c2w, depth, color)
+            self.mapper.vis_hook = _map_hook
+        if self.track_vis.vis_inside:
+            self._track_vis_frame = {}
+
+            def _track_hook(idx, it, total, cam_vec):
+                depth, color = self._track_vis_frame.get(idx, (None, None))
+                if depth is None or idx % self.track_vis.freq != 0:
+                    return
+                from point_slam_tpu.common import camera as _cam
+                c2w = np.eye(4, dtype=np.float32)
+                c2w[:3, :4] = np.asarray(
+                    _cam.pose_matrix_from_tensor(cam_vec))
+                self.track_vis.vis(idx, it, total, self.mapper, c2w,
+                                   depth, color, freq_override=True)
+            self.tracker.vis_hook = _track_hook
 
     def _frame(self, idx):
         t0 = time.perf_counter()
@@ -150,20 +180,31 @@ class PointSLAM:
                       f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}")
 
         from point_slam_tpu.utils.prefetch import FramePrefetcher
+
+        def _stage(item):
+            # upload in the WORKER thread so the ~13 MB RGB-D transfer
+            # overlaps device compute; tracker/mapper jnp.asarray calls are
+            # then no-ops
+            i, color, depth, c2w = item
+            return (i, jax.device_put(jnp.asarray(color)),
+                    jax.device_put(jnp.asarray(depth)), c2w)
+
         prefetcher = FramePrefetcher(self.dataset, depth=2, start=start,
-                                     stop=n)
+                                     stop=n, stage=_stage)
         for frame_idx, color, depth, gt_c2w in prefetcher:
             idx = int(frame_idx)
             self.gt_c2w_list[idx] = gt_c2w
             ef = 1 if (lazy and idx <= lazy) else every
 
-            # upload the frame ONCE; tracker/mapper jnp.asarray calls are
-            # then no-ops (a 680x1200 RGB-D pair is ~13 MB over the tunnel)
-            color = jax.device_put(jnp.asarray(color))
-            depth = jax.device_put(jnp.asarray(depth))
+            # dynamic radius maps computed ONCE per frame, shared by
+            # tracker, mapper and visualizer
+            radius = self.mapper.radius_maps(color)
+            r_add, r_query = radius[0], radius[1]
 
-            # dynamic radius maps shared by tracker & mapper this frame
-            r_add, r_query, _, _ = self.mapper.radius_maps(color)
+            if self.track_vis.vis_inside:
+                self._track_vis_frame = {idx: (depth, color)}
+            if self.map_vis.vis_inside:
+                self._map_vis_frame = {idx: (depth, color)}
 
             t0 = time.perf_counter()
             res = self.tracker.track_frame(
@@ -185,7 +226,8 @@ class PointSLAM:
                 t0 = time.perf_counter()
                 st = self.mapper.map_frame(idx, color, depth, gt_c2w,
                                            self.estimate_c2w_list[idx],
-                                           color_refine=refine)
+                                           color_refine=refine,
+                                           radius=radius)
                 self.timing["map"] += time.perf_counter() - t0
                 # BA refines the current pose during mapping (Mapper.py:735-737)
                 self.estimate_c2w_list[idx] = st["cur_c2w"]
@@ -196,11 +238,15 @@ class PointSLAM:
                           f"pts {st['n_points']}")
                 self.mlog.log({"idx_map": idx, **{k: v for k, v in st.items()
                                                   if k != "cur_c2w"}})
-                self.map_vis.vis(idx, st["n_iters"] - 1, st["n_iters"],
-                                 self.mapper, self.estimate_c2w_list[idx],
-                                 depth, color,
-                                 save_rendered_image=cfg["mapping"][
-                                     "save_rendered_image"])
+                # with vis_inside the end-of-frame panel is redundant
+                # except on frame 0 (src/Mapper.py:598-603)
+                if not self.map_vis.vis_inside or idx == 0:
+                    self.map_vis.vis(idx, st["n_iters"] - 1, st["n_iters"],
+                                     self.mapper, self.estimate_c2w_list[idx],
+                                     depth, color,
+                                     save_rendered_image=cfg["mapping"][
+                                         "save_rendered_image"],
+                                     r_query=r_query)
                 if ckpt_freq and idx % ckpt_freq == 0 and idx != n - 1:
                     from point_slam_tpu.utils.logger import save_checkpoint
                     save_checkpoint(os.path.join(
@@ -208,7 +254,8 @@ class PointSLAM:
             elif res.get("tracked"):
                 self.track_vis.vis(idx, self.tracker.iters - 1,
                                    self.tracker.iters, self.mapper,
-                                   self.estimate_c2w_list[idx], depth, color)
+                                   self.estimate_c2w_list[idx], depth, color,
+                                   r_query=r_query)
 
         # final point-cloud artifacts (src/Mapper.py:756-772): surface input
         # points with rgb as npy+ply, neural point positions as npy

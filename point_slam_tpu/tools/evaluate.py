@@ -48,8 +48,18 @@ def eval_reconstruction(slam, cfg, mesh_path: str, out_dir: str
     if gt_path is None or not os.path.exists(gt_path):
         return {}
     res = calc_3d_metric(mesh_path, gt_path, threshold=0.01)
-    return {f"recon_{k.replace(' ', '_').replace('-', '_')}": v
-            for k, v in res.items()}
+    out = {f"recon_{k.replace(' ', '_').replace('-', '_')}": v
+           for k, v in res.items()}
+    if cfg.get("meshing", {}).get("eval_2d", False):
+        # virtual-view depth-L1 (src/tools/eval_recon.py:86-171); works
+        # against any GT mesh — the *_pc_unseen.npy rejection file is
+        # optional (only the reference's Replica bundle ships one)
+        from point_slam_tpu.tools.eval_recon import calc_2d_metric
+        res2d = calc_2d_metric(
+            mesh_path, gt_path,
+            n_imgs=int(cfg["meshing"].get("eval_2d_n_imgs", 1000)))
+        out["recon_depth_l1_2d"] = res2d["depth l1"]
+    return out
 
 
 def rerender_frames(slam, out_dir: str, save_renders: bool = True,
@@ -124,6 +134,7 @@ def rerender_frames(slam, out_dir: str, save_renders: bool = True,
 def run_end_of_run_eval(slam, out_dir: str) -> Dict[str, Any]:
     cfg = slam.cfg
     results: Dict[str, Any] = {}
+    ate_ok = False
 
     try:
         ate = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list, align=True)
@@ -137,6 +148,7 @@ def run_end_of_run_eval(slam, out_dir: str) -> Dict[str, Any]:
         from point_slam_tpu.tools.eval_ate import plot_traj
         plot_traj(slam.gt_c2w_list, slam.estimate_c2w_list,
                   os.path.join(out_dir, "trajectory.png"))
+        ate_ok = True
     except Exception as e:  # pragma: no cover
         print("ATE evaluation failed:", e)
 
@@ -167,5 +179,18 @@ def run_end_of_run_eval(slam, out_dir: str) -> Dict[str, Any]:
             import traceback
             traceback.print_exc()
             print("Meshing failed:", e)
+
+    # temp cleanup + mapping.save_ckpts semantics (src/Mapper.py:933-941):
+    # drop the re-render scratch dir; drop checkpoints only when save_ckpts
+    # is false AND the trajectory eval succeeded (a failed eval forces
+    # checkpoints to survive for post-mortem, src/Mapper.py:811-813)
+    import shutil
+    rend = os.path.join(out_dir, "rendered_every_frame")
+    if os.path.exists(rend):
+        shutil.rmtree(rend)
+    if not cfg["mapping"].get("save_ckpts", True) and ate_ok:
+        ck = os.path.join(out_dir, "ckpts")
+        if os.path.exists(ck):
+            shutil.rmtree(ck)
 
     return results

@@ -25,7 +25,15 @@ from point_slam_tpu.utils.ply import write_ply
 def fuse_renders(render_dir: str, dataset, estimate_c2w_list, every: int,
                  intrinsics, voxel=5.0 / 512.0, sdf_trunc=0.04,
                  bounds_margin=0.2, verbose=True,
-                 normal_weighting=False) -> TSDFVolume:
+                 normal_weighting=False, mesh_freq: int = -1,
+                 mid_mesh_dir: Optional[str] = None,
+                 clean: bool = False) -> TSDFVolume:
+    """Integrate saved renders into a TSDF volume.
+
+    With ``mesh_freq`` > 0, writes an intermediate mesh every mesh_freq
+    integrated frames to ``mid_mesh_dir`` (the reference's periodic
+    ``mid_mesh/frame_<i>_mesh.ply`` dumps,
+    src/tools/get_mesh_tsdf_fusion.py:335-343)."""
     fx, fy, cx, cy = intrinsics
     depth_files = sorted(glob.glob(os.path.join(render_dir, "depth_*.npy")))
     assert depth_files, f"no renders found in {render_dir}"
@@ -68,6 +76,16 @@ def fuse_renders(render_dir: str, dataset, estimate_c2w_list, every: int,
         vol.integrate(depth, np.clip(color, 0.0, 1.0), c2w, fx, fy, cx, cy)
         if verbose and i % 20 == 0:
             print(f"  integrated frame {idx}")
+        if (mesh_freq > 0 and mid_mesh_dir is not None and i > 0
+                and i % mesh_freq == 0):
+            os.makedirs(mid_mesh_dir, exist_ok=True)
+            verts, faces, colors = vol.extract_mesh(
+                min_component_verts=100 if clean else None)
+            mid_path = os.path.join(mid_mesh_dir,
+                                    f"frame_{every * i}_mesh.ply")
+            write_ply(mid_path, verts, faces, colors)
+            if verbose:
+                print(f"  saved intermediate mesh until frame {every * i}")
     return vol
 
 
@@ -87,14 +105,18 @@ def mesh_from_renders(slam, out_dir: str, mesh_path: str,
         # reference: trunc 0.04 m at voxel 5/512 (~4 voxels); keep the band
         # >= 4 voxels when a coarser grid is configured
         sdf_trunc = max(0.04, 4.0 * voxel)
+    if clean is None:
+        clean = cfg["dataset"] != "replica"
     vol = fuse_renders(render_dir, slam.dataset, slam.estimate_c2w_list,
                        every, (cam["fx"], cam["fy"], cam["cx"], cam["cy"]),
                        voxel=voxel, sdf_trunc=sdf_trunc,
                        verbose=cfg.get("verbose", True),
                        normal_weighting=cfg.get("meshing", {}).get(
-                           "normal_weighting", False))
-    if clean is None:
-        clean = cfg["dataset"] != "replica"
+                           "normal_weighting", False),
+                       mesh_freq=cfg.get("meshing", {}).get("mesh_freq", -1),
+                       mid_mesh_dir=os.path.join(
+                           os.path.dirname(mesh_path), "mid_mesh"),
+                       clean=clean)
     verts, faces, colors = vol.extract_mesh(
         min_component_verts=100 if clean else None)
     os.makedirs(os.path.dirname(mesh_path), exist_ok=True)

@@ -51,6 +51,7 @@ class TrackerStatic(NamedTuple):
     sample_with_color_grad: bool
     grad_top: int
     max_iters: int
+    dp: int = 1           # data-parallel devices (rays shard over 'dp')
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "rc"))
@@ -58,9 +59,14 @@ def track_optimize(ts: TrackerStatic, rc: R.RenderConfig,
                    params, packed, n_points, index,
                    gt_color, gt_depth, r_query_map, cam_init,
                    cand_idx, cand_ok, lr, n_iters, key,
-                   exposure_feat=None):
+                   exposure_feat=None, carry_in=None):
     """Optimize the camera for one frame. Returns (best_cam (7,),
-    final_cam (7,), first_loss, best_loss)."""
+    final_cam (7,), first_loss, best_loss, carry).
+
+    ``carry_in`` resumes a chunked run (vis_inside support: the host splits
+    the loop at vis_inside_freq boundaries and fires the visualizer between
+    launches, the analog of src/Tracker.py:367-371); iteration semantics are
+    identical to one monolithic loop."""
 
     def loss_fn(cam, it_key):
         c2w = camera.pose_matrix_from_tensor(cam)
@@ -89,6 +95,17 @@ def track_optimize(ts: TrackerStatic, rc: R.RenderConfig,
         mx = image.masked_max(dep, valid)
         inside = dep <= jnp.minimum(10.0 * med, 1.2 * mx)
         valid &= inside
+
+        if ts.dp > 1:
+            # shard the per-ray batch over the dp mesh axis; the pose (and
+            # its gradient psum) stays replicated — GSPMD inserts the
+            # collectives (SURVEY §2.2 opportunity, mirroring the mapper)
+            from point_slam_tpu.parallel import mesh as pmesh
+            sh = pmesh.shard_rays(dict(rays_o=rays_o, rays_d=rays_d,
+                                       dep=dep, col=col, rq=rq, valid=valid))
+            rays_o, rays_d, dep, col, rq, valid = (
+                sh["rays_o"], sh["rays_d"], sh["dep"], sh["col"],
+                sh["rq"], sh["valid"])
 
         depth, uncertainty, color, _ = R.render_rays(
             params, packed, n_points, index,
@@ -147,12 +164,12 @@ def track_optimize(ts: TrackerStatic, rc: R.RenderConfig,
 
     init = (jnp.zeros((), jnp.int32), cam0, opt0,
             jnp.asarray(1e20, jnp.float32), cam_init,
-            jnp.zeros((), jnp.float32), key)
+            jnp.zeros((), jnp.float32), key) if carry_in is None else carry_in
     out = jax.lax.while_loop(
         lambda c: c[0] < jnp.minimum(n_iters, ts.max_iters), body, init)
     _, cam, _, best_loss, best_cam, first_loss, _ = out
     final_cam = jnp.concatenate([cam["quad"], cam["t"]])
-    return best_cam, final_cam, first_loss, best_loss
+    return best_cam, final_cam, first_loss, best_loss, out
 
 
 class Tracker:
@@ -163,8 +180,10 @@ class Tracker:
         cam = cfg["cam"]
         tr = cfg["tracking"]
         self.n_img = n_img
-        pix = tr["pixels"]
+        dp = int(cfg["tpu"].get("data_parallel", 1) or 1)
+        pix = -(-tr["pixels"] // dp) * dp  # pad rays to the dp axis
         self.ts = TrackerStatic(
+            dp=dp,
             h=cam["H"], w=cam["W"], fx=cam["fx"], fy=cam["fy"],
             cx=cam["cx"], cy=cam["cy"], pixels=pix,
             ignore_edge_w=tr["ignore_edge_W"], ignore_edge_h=tr["ignore_edge_H"],
@@ -181,6 +200,10 @@ class Tracker:
         self.gt_camera = tr["gt_camera"]
         self.const_speed = tr["const_speed_assumption"]
         self.key = jax.random.key(cfg["setup_seed"] + 1)
+        # set by the orchestrator when tracking.vis_inside is on: called as
+        # vis_hook(idx, it, total_iters, cam_vec) between loop chunks
+        self.vis_hook = None
+        self.inside_freq = max(int(tr.get("vis_inside_freq", 50)), 1)
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -230,12 +253,27 @@ class Tracker:
         exp = (jnp.asarray(exposure_feat)
                if (exposure_feat is not None and self.rc.encode_exposure)
                else None)
-        best_cam, final_cam, first_loss, best_loss = track_optimize(
-            self.ts, self.rc, mapper.params, mapper.cloud.packed,
-            mapper.cloud.n_points,
-            mapper.index, color_dev, depth_dev, jnp.asarray(r_query_map),
-            cam_init, cand_idx, cand_ok, jnp.asarray(self.lr, jnp.float32),
-            jnp.asarray(self.iters), self._next_key(), exposure_feat=exp)
+        args = (self.ts, self.rc, mapper.params, mapper.cloud.packed,
+                mapper.cloud.n_points,
+                mapper.index, color_dev, depth_dev, jnp.asarray(r_query_map),
+                cam_init, cand_idx, cand_ok, jnp.asarray(self.lr, jnp.float32))
+        key = self._next_key()
+        if self.vis_hook is None:
+            best_cam, final_cam, first_loss, best_loss, _ = track_optimize(
+                *args, jnp.asarray(self.iters), key, exposure_feat=exp)
+        else:
+            # vis_inside: chunk the loop at inside_freq boundaries and fire
+            # the visualizer between launches (src/Tracker.py:367-371)
+            carry = None
+            it = 0
+            while it < self.iters:
+                end = min(it + self.inside_freq, self.iters)
+                best_cam, final_cam, first_loss, best_loss, carry = \
+                    track_optimize(*args, jnp.asarray(end), key,
+                                   exposure_feat=exp, carry_in=carry)
+                it = end
+                if it < self.iters:
+                    self.vis_hook(idx, it, self.iters, final_cam)
 
         # one host fetch for everything (each np.asarray is a tunnel RTT)
         rt_flat = camera.pose_matrix_from_tensor(best_cam).reshape(-1)

@@ -54,8 +54,8 @@ def save_checkpoint(path: str, slam, idx: int | None = None) -> None:
         "keyframe_list": np.asarray(m.keyframe_list, np.int64),
         # keyframe ring poses: BA refinements live only here (the reference
         # likewise updates keyframe_dict, not estimate_c2w_list)
-        "keyframe_est_c2w": np.asarray(m.ring.est_c2w[:len(m.keyframe_list)]),
-        "keyframe_exposure": np.asarray(m.ring.exposure[:len(m.keyframe_list)]),
+        "keyframe_est_c2w": m.store.est_c2w_array(),
+        "keyframe_exposure": m.store.exposure_array(),
         "exposure_feat_all": (np.stack(m.exposure_feat_all)
                               if m.exposure_feat_all else np.zeros((0,))),
         "exposure_feat": np.asarray(m.exposure_feat),
@@ -138,10 +138,8 @@ def restore_color_decoder_snapshots(ckpt: Dict[str, np.ndarray],
 
 def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
     """True mid-run resume (no reference equivalent, SURVEY §5): restore the
-    cloud, decoders, pose lists, and rebuild the device keyframe ring from
-    the dataset. Returns the next frame index to process."""
-    from point_slam_tpu.mapper import ring_set
-
+    cloud, decoders, pose lists, and rebuild the keyframe store from the
+    dataset. Returns the next frame index to process."""
     restore_cloud_and_params(ckpt, slam.mapper)
     idx = int(ckpt["idx"])
     n = min(len(ckpt["estimate_c2w_list"]), slam.n_img)
@@ -155,15 +153,13 @@ def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
             ckpt["exposure_feat_all"].astype(np.float32))
     restore_color_decoder_snapshots(ckpt, slam.mapper)
 
-    # rebuild the keyframe ring from the dataset + restored trajectory;
-    # keyframe poses/exposures come from the checkpoint's ring snapshot when
+    # rebuild the keyframe store from the dataset + restored trajectory;
+    # keyframe poses/exposures come from the checkpoint's snapshot when
     # present (BA refinements and per-keyframe exposure latents live there)
     m = slam.mapper
     kf_poses = ckpt.get("keyframe_est_c2w")
     kf_expos = ckpt.get("keyframe_exposure")
     for slot, kf_idx in enumerate(m.keyframe_list):
-        if slot >= m.ring.color.shape[0]:
-            break
         _, color, depth, _ = slam.dataset[kf_idx]
         color = jnp.asarray(color)
         _, r_query, _, _ = m.radius_maps(color)
@@ -171,11 +167,8 @@ def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
                 else slam.estimate_c2w_list[kf_idx])
         expo = (kf_expos[slot] if kf_expos is not None and slot < len(kf_expos)
                 else m.exposure_feat)
-        m.ring = ring_set(
-            m.ring, jnp.asarray(slot), color, jnp.asarray(depth), r_query,
-            jnp.asarray(pose),
-            jnp.asarray(slam.gt_c2w_list[kf_idx]),
-            jnp.asarray(expo))
+        m.store.append(color, jnp.asarray(depth), r_query, pose,
+                       slam.gt_c2w_list[kf_idx], expo)
 
     # continue the PRNG streams
     if "mapper_key" in ckpt:

@@ -14,10 +14,17 @@ from typing import Iterator, Optional, Tuple
 
 class FramePrefetcher:
     def __init__(self, dataset, depth: int = 2,
-                 start: int = 0, stop: Optional[int] = None):
+                 start: int = 0, stop: Optional[int] = None,
+                 stage=None):
+        """``stage``: optional callable applied to each item IN THE WORKER
+        THREAD — used to jax.device_put the frame so the host->device
+        transfer (a ~13 MB RGB-D pair at Replica scale, worse over a
+        tunnel) overlaps device compute instead of landing on the critical
+        path of the next frame."""
         self.dataset = dataset
         self.stop_idx = len(dataset) if stop is None else min(stop, len(dataset))
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stage = stage
         self._thread = threading.Thread(
             target=self._worker, args=(start,), daemon=True)
         self._stopped = threading.Event()
@@ -29,6 +36,8 @@ class FramePrefetcher:
                 return
             try:
                 item = self.dataset[i]
+                if self._stage is not None:
+                    item = self._stage(item)
             except Exception as e:  # propagate through the queue
                 self.q.put(("error", e))
                 return

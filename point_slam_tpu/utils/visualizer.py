@@ -45,10 +45,27 @@ class Visualizer:
             return idx % self.freq == 0 and it % self.inside_freq == 0
         return idx % self.freq == 0 and it == total_iters - 1
 
-    def render_frame(self, mapper, c2w, gt_depth, gt_color, key=None):
+    def vis_chunk(self, idx: int, it_prev: int, it_now: int, total: int,
+                  mapper, c2w, gt_depth, gt_color) -> Optional[str]:
+        """vis_inside firing between optimization-loop chunks: fire once if
+        a multiple of inside_freq lies in [it_prev, it_now) — the
+        chunk-boundary analog of the reference's per-iteration
+        ``joint_iter % vis_inside_freq == 0`` check (src/Mapper.py:441-445,
+        src/Tracker.py:367-371)."""
+        if not self.vis_inside or idx % self.freq != 0:
+            return None
+        m = (max(it_now, 1) - 1) // self.inside_freq * self.inside_freq
+        if m < it_prev:
+            return None
+        return self.vis(idx, m, total, mapper, c2w, gt_depth, gt_color,
+                        freq_override=True)
+
+    def render_frame(self, mapper, c2w, gt_depth, gt_color, key=None,
+                     r_query=None):
         cfg = mapper.cfg
         cam = cfg["cam"]
-        _, r_query, _, _ = mapper.radius_maps(jnp.asarray(gt_color))
+        if r_query is None:
+            _, r_query, _, _ = mapper.radius_maps(jnp.asarray(gt_color))
         dep, unc, col = R.render_img(
             mapper.params, mapper.cloud, mapper.index, jnp.asarray(c2w),
             (cam["fx"], cam["fy"], cam["cx"], cam["cy"]),
@@ -63,10 +80,12 @@ class Visualizer:
 
     def vis(self, idx: int, it: int, total_iters: int, mapper, c2w,
             gt_depth, gt_color, freq_override: bool = False,
-            save_rendered_image: bool = False) -> Optional[str]:
+            save_rendered_image: bool = False,
+            r_query=None) -> Optional[str]:
         if not self.should_fire(idx, it, total_iters, freq_override):
             return None
-        dep, unc, col = self.render_frame(mapper, c2w, gt_depth, gt_color)
+        dep, unc, col = self.render_frame(mapper, c2w, gt_depth, gt_color,
+                                          r_query=r_query)
         gt_depth = np.asarray(gt_depth)
         gt_color = np.asarray(gt_color)
         depth_res = np.abs(gt_depth - dep)

@@ -153,3 +153,74 @@ def test_capacity_growth_rescales_table(tmp_path):
     np.testing.assert_allclose(np.where(in_r, np.asarray(gd), 0.0),
                                np.where(in_r, np.asarray(bd), 0.0),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- keyframes
+
+def test_keyframe_store_overflow_raises():
+    """A full device ring must fail loudly, not silently drop keyframes
+    (round-1 verdict: >budget runs quietly stopped extending the window)."""
+    from point_slam_tpu.mapper import KeyframeStore
+    cfg = tiny_cfg()
+    cfg["tpu"]["keyframe_host_ring"] = False
+    cfg["tpu"]["keyframe_device_budget"] = 4
+    st = KeyframeStore(cfg, 8, 8, 1000, 8, keyframe_every=1)
+    assert not st.host_mode and st.capacity == 4
+    img = jnp.zeros((8, 8, 3)), jnp.zeros((8, 8)), jnp.full((8, 8), 1e6)
+    eye = np.eye(4, dtype=np.float32)
+    for _ in range(4):
+        st.append(*img, eye, eye, np.zeros(8, np.float32))
+    with pytest.raises(RuntimeError, match="keyframe ring overflow"):
+        st.append(*img, eye, eye, np.zeros(8, np.float32))
+
+
+def test_keyframe_store_auto_host_mode():
+    """'auto' switches to the host ring when the expected keyframe count
+    exceeds the device budget, and every keyframe stays reachable."""
+    from point_slam_tpu.mapper import KeyframeStore
+    cfg = tiny_cfg()
+    cfg["tpu"]["keyframe_device_budget"] = 4
+    st = KeyframeStore(cfg, 8, 8, 1000, 8, keyframe_every=1)  # expects 1004
+    assert st.host_mode
+    rng = np.random.default_rng(0)
+    for i in range(9):   # > device budget; must not raise or drop
+        col = rng.uniform(size=(8, 8, 3)).astype(np.float32)
+        st.append(jnp.asarray(col), jnp.full((8, 8), 1.0 * i),
+                  jnp.full((8, 8), 0.1), np.eye(4), np.eye(4),
+                  np.zeros(8, np.float32))
+    assert len(st) == 9
+    w_color, w_depth, _, _, _ = st.gather_window([8, 0, 5], 6)
+    assert np.allclose(np.asarray(w_depth[0]), 8.0)
+    assert np.allclose(np.asarray(w_depth[1]), 0.0)
+    assert np.allclose(np.asarray(w_depth[2]), 5.0)
+    np.testing.assert_array_equal(np.asarray(w_color[2]),
+                                  st.frames[5]["color"])
+
+
+def test_host_ring_matches_device_ring():
+    """Mapping with the host-resident keyframe ring is bit-identical to the
+    device ring (same PRNG streams, same window contents)."""
+    cfg_a = tiny_cfg()
+    cfg_a["tpu"]["keyframe_host_ring"] = False
+    cfg_b = tiny_cfg()
+    cfg_b["tpu"]["keyframe_host_ring"] = True
+
+    results = []
+    for cfg in (cfg_a, cfg_b):
+        ds = get_dataset(cfg)
+        rng = np.random.default_rng(cfg["setup_seed"])
+        params = D.init_decoders(jax.random.key(cfg["setup_seed"]), cfg)
+        mapper = Mapper(cfg, params, len(ds), rng)
+        for idx in [0, 2, 4]:
+            _, color, depth, c2w = ds[idx]
+            mapper.map_frame(idx, color, depth, c2w, c2w)
+        results.append(mapper)
+    a, b = results
+    assert not a.store.host_mode and b.store.host_mode
+    assert a.keyframe_list == b.keyframe_list
+    np.testing.assert_array_equal(np.asarray(a.cloud.packed),
+                                  np.asarray(b.cloud.packed))
+    la = jax.tree_util.tree_leaves(a.params)
+    lb = jax.tree_util.tree_leaves(b.params)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -115,3 +115,46 @@ def test_dp8_mapping_with_ray_knn():
         assert np.isfinite(packed).all()
     finally:
         pmesh.set_mesh(None)
+
+
+def run_track(cfg):
+    from point_slam_tpu.tracker import Tracker
+    ds = get_dataset(cfg)
+    rng = np.random.default_rng(cfg["setup_seed"])
+    params = D.init_decoders(jax.random.key(cfg["setup_seed"]), cfg)
+    mapper = Mapper(cfg, params, len(ds), rng)
+    est = np.zeros((len(ds), 4, 4), np.float32)
+    for i in range(3):
+        _, color, depth, c2w = ds[i]
+        mapper.map_frame(i, color, depth, c2w, c2w)
+        est[i] = c2w
+    tracker = Tracker(cfg, len(ds))
+    _, color, depth, c2w = ds[3]
+    _, r_query, _, _ = mapper.radius_maps(jnp.asarray(color))
+    res = tracker.track_frame(3, color, depth, c2w, est, mapper, r_query)
+    return res
+
+
+def test_dp_tracking_matches_single_device():
+    """Tracker rays shard over dp; same seed + same ray budget must give the
+    same pose to reduction-order tolerance."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg1 = tiny_cfg(dp=1)
+    cfg1["mapping"]["pixels"] = 64 * 8
+    cfg1["tracking"].update({"pixels": 64 * 8, "iters": 6})
+    res1 = run_track(cfg1)
+
+    mesh = pmesh.make_mesh(8)
+    pmesh.set_mesh(mesh)
+    try:
+        cfg8 = tiny_cfg(dp=8)
+        cfg8["tracking"].update({"pixels": 64 * 8, "iters": 6})
+        res8 = run_track(cfg8)
+    finally:
+        pmesh.set_mesh(None)
+
+    assert res1["tracked"] and res8["tracked"]
+    np.testing.assert_allclose(res1["best_loss"], res8["best_loss"],
+                               rtol=5e-3)
+    np.testing.assert_allclose(res1["c2w"], res8["c2w"], rtol=2e-3, atol=2e-4)

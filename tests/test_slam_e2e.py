@@ -241,7 +241,9 @@ def test_end_of_run_reconstruction_eval(tmp_path):
     cfg["mapping"].update({"iters": 15, "iters_first": 25})
     cfg["reconstruction_datasets"] = ["synthetic"]
     cfg["render_datasets"] = []
-    cfg["meshing"].update({"eval_rec": True, "voxel": 0.06})
+    cfg["meshing"].update({"eval_rec": True, "voxel": 0.06,
+                           "eval_2d": True, "eval_2d_n_imgs": 4,
+                           "mesh_freq": 2})
     slam = PointSLAM(cfg)
     slam.run()
     from point_slam_tpu.tools.evaluate import run_end_of_run_eval
@@ -249,5 +251,102 @@ def test_end_of_run_reconstruction_eval(tmp_path):
     assert "recon_F_score" in res, res
     assert res["recon_precision"] > 5.0          # coarse voxel, tiny budget
     assert np.isfinite(res["recon_accuracy"])
+    # virtual-view 2D depth-L1 wired behind meshing.eval_2d
+    assert "recon_depth_l1_2d" in res and np.isfinite(res["recon_depth_l1_2d"])
     import os
     assert os.path.exists(os.path.join(slam.output, "mesh", "gt_culled.ply"))
+    # meshing.mesh_freq writes intermediate meshes during TSDF integration
+    import glob
+    mids = glob.glob(os.path.join(slam.output, "mesh", "mid_mesh",
+                                  "frame_*_mesh.ply"))
+    assert mids, "mesh_freq produced no intermediate meshes"
+
+
+def test_vis_inside_fires_in_both_loops(tmp_path):
+    """tracking/mapping vis_inside write panels from INSIDE the optimization
+    loops at chunk boundaries (src/Tracker.py:367-371, src/Mapper.py:441)."""
+    import glob
+    cfg = e2e_cfg(tmp_path, n=6)
+    cfg["tracking"].update({"vis_freq": 1, "vis_inside": True,
+                            "vis_inside_freq": 10, "iters": 20})
+    cfg["mapping"].update({"vis_freq": 1, "vis_inside": True,
+                           "vis_inside_freq": 8, "iters": 16})
+    cfg["tpu"]["max_iters_per_launch"] = 8
+    slam = PointSLAM(cfg)
+    slam.run()
+    track_panels = glob.glob(os.path.join(slam.output, "tracking_vis",
+                                          "*.jpg"))
+    map_panels = glob.glob(os.path.join(slam.output, "mapping_vis", "*.jpg"))
+    assert track_panels, "tracking vis_inside produced no panels"
+    assert map_panels, "mapping vis_inside produced no panels"
+    # mid-loop iterations (not just the final one) appear in the filenames
+    map_iters = {int(os.path.basename(p).split("_")[1][:4])
+                 for p in map_panels}
+    assert any(0 < it < 16 for it in map_iters) or 0 in map_iters, map_iters
+    track_iters = {int(os.path.basename(p).split("_")[1][:4])
+                   for p in track_panels}
+    assert any(0 < it < 20 for it in track_iters), track_iters
+
+
+def test_frozen_pretrained_geo_decoder(tmp_path):
+    """The reference's frozen-PRETRAINED geometry decoder configuration
+    (src/Point_SLAM.py:143-164 + mapping.fix_geo_decoder): a middle_fine.pt
+    in the reference's layout converts (tools/convert_pretrained), loads
+    into MLP_geometry, stays frozen through mapping, and the run works."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from point_slam_tpu.models import decoders as D
+    from point_slam_tpu.tools.convert_pretrained import convert
+
+    cfg = e2e_cfg(tmp_path, n=6)
+    params0 = D.init_decoders(jax.random.key(3), cfg)
+
+    # fake NICE-SLAM ckpt with the reference's key layout
+    # ('decoder.coarse.' prefix holds the middle decoder, quirky but real)
+    rng = np.random.default_rng(5)
+    model = {}
+
+    def fake(dst, name):
+        w = rng.normal(0, 0.1, dst["w"].shape[::-1]).astype(np.float32)
+        b = rng.normal(0, 0.1, dst["b"].shape).astype(np.float32)
+        model[f"decoder.coarse.{name}.weight"] = torch.from_numpy(w)
+        model[f"decoder.coarse.{name}.bias"] = torch.from_numpy(b)
+        return w, b
+
+    geo = params0["geo"]
+    w0, b0 = fake(geo["pts_linears"][0], "pts_linears.0")
+    for i in range(1, len(geo["pts_linears"])):
+        fake(geo["pts_linears"][i], f"pts_linears.{i}")
+    for i in range(len(geo["fc_c"])):
+        fake(geo["fc_c"][i], f"fc_c.{i}")
+    fake(geo["output_linear"], "output_linear")
+    # decoy keys the filter must skip
+    model["encoder.coarse.conv.weight"] = torch.zeros(3, 3)
+    model["decoder.fine.pts_linears.0.weight"] = torch.zeros(4, 4)
+    pt = tmp_path / "middle_fine.pt"
+    torch.save({"model": model}, pt)
+
+    npz = tmp_path / "middle_fine.npz"
+    n = convert(str(pt), str(npz))
+    assert n == 2 * (len(geo["pts_linears"]) + len(geo["fc_c"]) + 1)
+
+    loaded = D.load_pretrained_geo(params0, str(npz))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["geo"]["pts_linears"][0]["w"]), w0.T)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["geo"]["pts_linears"][0]["b"]), b0)
+
+    # e2e: fix_geo_decoder stays ON (no auto-train fallback) and the
+    # decoder is bit-frozen through mapping
+    cfg["mapping"]["fix_geo_decoder"] = True
+    cfg["pretrained_decoders"] = {"middle_fine": str(npz)}
+    slam = PointSLAM(cfg)
+    assert cfg["mapping"]["fix_geo_decoder"] is True
+    geo_before = jax.tree.map(np.asarray, slam.mapper.params["geo"])
+    summary = slam.run()
+    assert summary["n_points"] > 0
+    geo_after = jax.tree.map(np.asarray, slam.mapper.params["geo"])
+    for a, b in zip(jax.tree_util.tree_leaves(geo_before),
+                    jax.tree_util.tree_leaves(geo_after)):
+        np.testing.assert_array_equal(a, b)
