@@ -138,15 +138,22 @@ def render_rays(params: Dict[str, Any], packed, n_points,
         # Rays whose samples spread beyond the probed box (uniform sampling
         # of depth-free rays; long-depth rays whose 0.98d-1.02d span exceeds
         # the 4-cell box) would keep truncated neighbor sets; route those
-        # (rare) non-compact rays through per-sample grid_knn. Compact rays'
-        # fallback queries are parked far away so their probes all hit one
-        # empty bucket, making the pass cheap when every ray is compact.
-        p_fb = jnp.where(compact[:, None, None], 1.0e6,
-                         jax.lax.stop_gradient(pts)).reshape(-1, 3)
-        d_f, i_f, v_f = knn.grid_knn(index, p_fb, k=rc.nn_num)
-        rep = jnp.repeat(compact, ns)[:, None]
-        idx = jnp.where(rep, idx, i_f)
-        valid = jnp.where(rep, valid, v_f)
+        # (rare) non-compact rays through per-sample grid_knn. The fallback
+        # pass is gated by lax.cond: grid_knn's cost on TPU is set by its
+        # static shapes (probes x max_per_cell gathers), NOT by the query
+        # values, so running it with parked queries would double the render
+        # cost even when every ray is compact — the cond skips it entirely
+        # in that (overwhelmingly common) case and pays only a reduction.
+        def _fallback(_):
+            p_fb = jnp.where(compact[:, None, None], 1.0e6,
+                             jax.lax.stop_gradient(pts)).reshape(-1, 3)
+            d_f, i_f, v_f = knn.grid_knn(index, p_fb, k=rc.nn_num)
+            rep = jnp.repeat(compact, ns)[:, None]
+            return (jnp.where(rep, idx, i_f), jnp.where(rep, valid, v_f))
+
+        idx, valid = jax.lax.cond(
+            jnp.any(~compact), _fallback, lambda _: (idx, valid),
+            operand=None)
         nb = packed[idx]                                     # (N,K,PACK_W)
         neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
         # exact distances from winner coordinates (ray_grid_knn's are

@@ -57,15 +57,22 @@ mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
 
 ms, rc = mapper.ms, mapper.rc
 f = ms.f_max
-slots = jnp.zeros((f,), jnp.int32)
 cd, dd = jnp.asarray(color), jnp.asarray(depth)
 r_add, r_query, _, _ = mapper.radius_maps(cd)
-window = dict(color=mapper.ring.color[slots].at[0].set(cd),
-              depth=mapper.ring.depth[slots].at[0].set(dd),
-              r_query=mapper.ring.r_query[slots].at[0].set(r_query))
-w_c2w = mapper.ring.est_c2w[slots].at[0].set(jnp.asarray(c2w))
-w_exp = mapper.ring.exposure[slots]
+window = dict(color=jnp.zeros((f,) + cd.shape, jnp.float32).at[0].set(cd),
+              depth=jnp.zeros((f,) + dd.shape, jnp.float32).at[0].set(dd),
+              r_query=jnp.full((f,) + dd.shape, 1e6, jnp.float32)
+              .at[0].set(r_query))
+w_c2w = jnp.tile(jnp.eye(4, dtype=jnp.float32), (f, 1, 1)) \
+    .at[0].set(jnp.asarray(c2w))
+w_exp = jnp.zeros((f, cfg["model"]["exposure_dim"]), jnp.float32)
 frustum = (jnp.arange(CAP) < mapper.cloud.n_points)
+# compacted row selection, as map_frame builds it (power-of-two bucket)
+m_rows = min(1 << int(np.ceil(np.log2(max(NPTS, 1024)))), CAP)
+sel_rows = jnp.nonzero(frustum, size=m_rows, fill_value=CAP)[0]
+sel_rows = jnp.where(sel_rows >= CAP,
+                     CAP + jnp.arange(m_rows, dtype=sel_rows.dtype),
+                     sel_rows).astype(jnp.int32)
 cloud = mapper.cloud
 index = mapper.index
 n_frames = jnp.asarray(1)
@@ -100,8 +107,13 @@ def mix(k, x):
 
 diff0 = {"col": mapper.params["col"], "packed": cloud.packed}
 opt0 = adam.init_state(diff0)
+rows0 = jnp.take(cloud.packed, sel_rows, axis=0, mode="fill", fill_value=0.0,
+                 unique_indices=True, indices_are_sorted=True)
+diff_r = {"col": mapper.params["col"], "rows": rows0}
+opt_r = adam.init_state(diff_r)
 BIG.update(window=window, w_c2w=w_c2w, w_exp=w_exp, cloud=cloud, index=index,
-           params=mapper.params, frustum=frustum, diff0=diff0, opt0=opt0)
+           params=mapper.params, frustum=frustum, diff0=diff0, opt0=opt0,
+           sel=sel_rows, diff_r=diff_r, opt_r=opt_r)
 
 
 # rung 1: ray sampling only
@@ -165,7 +177,8 @@ def s_col_grad(k, b):
     g = grad_col(b["diff0"], b, rays, k)
     return mix(k, g["packed"][0])
 
-# rung 7: color grad + frustum mask + adam on all groups
+# rung 7: FULL-BUFFER style (round-1): color grad + frustum mask + adam over
+# the whole (CAP,72) buffer
 def s_full(k, b):
     rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
     g = grad_col(b["diff0"], b, rays, k)
@@ -180,13 +193,43 @@ def s_full(k, b):
     return mix(k, acc)
 
 
+# rung 8: COMPACTED-ROW style (round-2, what map_optimize now runs): the
+# diff leaf is packed[sel] (M,72); compose via scatter in the forward, adam
+# sweeps only M rows
+def grad_col_rows(d, b, rays, kk):
+    def loss_fn(d):
+        p = {"col": d["col"], "geo": b["params"]["geo"]}
+        packed = b["cloud"].packed.at[b["sel"]].set(
+            d["rows"], mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        return _losses(ms, rc, p, packed, b["w_exp"], b["cloud"].n_points,
+                       b["index"], rays, b["w_c2w"], kk,
+                       stage_color=True)[0]
+    return jax.grad(loss_fn)(d)
+
+
+def s_full_rows(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
+    g = grad_col_rows(b["diff_r"], b, rays, k)
+    acc = 0.0
+    for name in ("col", "rows"):
+        p, st = adam.update(b["diff_r"][name], g[name],
+                            {"m": b["opt_r"]["m"][name],
+                             "v": b["opt_r"]["v"][name]},
+                            jnp.asarray(1.0), jnp.asarray(0.01))
+        acc = acc + jax.tree_util.tree_leaves(p)[0].ravel()[0]
+    return mix(k, acc)
+
+
 t1 = chain("1 sample rays        ", s_sample)
 t2 = chain("2 + kNN              ", s_knn)
 t3 = chain("3 + geo fwd loss     ", s_geo_fwd)
 t4 = chain("4 + col fwd loss     ", s_col_fwd)
 t5 = chain("5 geo grad           ", s_geo_grad)
 t6 = chain("6 col grad           ", s_col_grad)
-t7 = chain("7 col grad+mask+adam ", s_full)
+t7 = chain("7 full-buffer step   ", s_full)
+t8 = chain("8 compacted-row step ", s_full_rows)
 print(f"\nkNN cost: {(t2-t1)*1e3:.1f} ms | geo-MLP fwd: {(t3-t2)*1e3:.1f} | "
       f"col extras fwd: {(t4-t3)*1e3:.1f} | geo bwd: {(t5-t3)*1e3:.1f} | "
-      f"col bwd: {(t6-t4)*1e3:.1f} | adam: {(t7-t6)*1e3:.1f}")
+      f"col bwd: {(t6-t4)*1e3:.1f} | adam: {(t7-t6)*1e3:.1f} | "
+      f"compaction saves: {(t7-t8)*1e3:.1f} ms/iter")

@@ -1,8 +1,10 @@
-"""End-to-end per-iteration cost of the mapping/tracking steps at Replica scale.
+"""End-to-end steady-state cost of the mapping/tracking steps at Replica scale.
 
-Times map_optimize with two different n_iters values; the difference isolates
-per-iteration cost from fixed overhead. Sync via host readback (axon's
-block_until_ready does not wait).
+Drives the HIGH-LEVEL Mapper.map_frame / Tracker.track_frame paths (so it
+measures exactly what the production loop runs, including chunked launches
+and host work). Per-iteration cost is isolated by differencing two
+iteration budgets. Sync via host readback (axon's block_until_ready does
+not wait).
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -10,11 +12,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
 from point_slam_tpu.config import load_config
 from point_slam_tpu.datasets import get_dataset
-from point_slam_tpu.mapper import Mapper, map_optimize
+from point_slam_tpu.mapper import Mapper
 from point_slam_tpu.tracker import Tracker
 from point_slam_tpu.models import decoders as D
+import point_slam_tpu.pointcloud as pc
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -25,8 +30,8 @@ cfg["cam"].update({"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0,
                    "cx": 599.5, "cy": 339.5})
 cfg["mapping"].update({
     "pixels": 5000, "pixels_adding": 6000,
-    "pixels_based_on_color_grad": 1000, "iters": 300, "iters_first": 1500,
-    "geo_iter_first": 400, "mapping_window_size": 12, "keyframe_every": 5,
+    "pixels_based_on_color_grad": 1000, "iters": 300, "iters_first": 150,
+    "geo_iter_first": 50, "mapping_window_size": 12, "keyframe_every": 5,
 })
 cfg["tracking"].update({"pixels": 1500, "iters": 40})
 cfg["rendering"]["sample_near_pcl"] = False
@@ -43,75 +48,52 @@ color = np.asarray(color); depth = np.asarray(depth); c2w = np.asarray(c2w)
 
 t0 = time.time()
 st = mapper.map_frame(0, color, depth, c2w, c2w)
-# force: fetch a feature value
-np.asarray(mapper.cloud.geo_feats[0])
-print(f"frame0 map_frame wall (incl compile, {cfg['mapping']['iters_first']} iters): "
-      f"{time.time()-t0:.1f}s   n_points={st['n_points']}")
+np.asarray(mapper.cloud.packed[0, 0])
+print(f"frame0 map_frame wall (incl compile, "
+      f"{cfg['mapping']['iters_first']} iters): {time.time()-t0:.1f}s  "
+      f"n_points={st['n_points']}", flush=True)
 
 # inflate the cloud to steady-state scale (~300k points) for realistic timing
 CAP = mapper.cloud.pos.shape[0]
 NPTS = 300_000
-u = rng.uniform(0, 6, (NPTS, 2)).astype(np.float32)
+u = rng.uniform(-2.5, 2.5, (NPTS, 2)).astype(np.float32)
 pts = np.stack([u[:, 0], u[:, 1],
-                2.0 + 0.3 * np.sin(u[:, 0] * 3)
-                + 0.01 * rng.standard_normal(NPTS).astype(np.float32)], -1)
+                -2.0 + 0.3 * np.sin(u[:, 0] * 3)], -1).astype(np.float32)
 pos = np.full((CAP, 3), 1e6, np.float32)
 pos[:NPTS] = pts
-import point_slam_tpu.pointcloud as pc
+feats = 0.1 * rng.standard_normal((CAP, 72)).astype(np.float32)
+feats[:, pc.POS_SL] = pos
 mapper.cloud = mapper.cloud._replace(
-    pos=jnp.asarray(pos),
-    n_points=jnp.asarray(NPTS, jnp.int32),
-    geo_feats=jnp.asarray(0.1 * rng.standard_normal((CAP, 32)), jnp.float32),
-    col_feats=jnp.asarray(0.1 * rng.standard_normal((CAP, 32)), jnp.float32))
+    packed=jnp.asarray(feats), n_points=jnp.asarray(NPTS, jnp.int32))
 mapper.n_points_host = NPTS
 mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
                               mapper.table_size, mapper.max_per_cell)
 
 
-def run_optimize(n_iters):
-    f = mapper.ms.f_max
-    slots = jnp.zeros((f,), jnp.int32)
-    cd = jnp.asarray(color); dd = jnp.asarray(depth)
-    r_add, r_query, _, _ = mapper.radius_maps(cd)
-    w_color = mapper.ring.color[slots].at[0].set(cd)
-    w_depth = mapper.ring.depth[slots].at[0].set(dd)
-    w_rq = mapper.ring.r_query[slots].at[0].set(r_query)
-    w_c2w = mapper.ring.est_c2w[slots].at[0].set(jnp.asarray(c2w))
-    w_exp = mapper.ring.exposure[slots]
-    frustum = jnp.arange(CAP) < mapper.cloud.n_points
-    lr = jnp.asarray([0.001, 0.03, 0.0], jnp.float32)
-    lrc = jnp.asarray([0.005, 0.005, 0.005], jnp.float32)
-    out = map_optimize(
-        mapper.ms, mapper.rc, mapper.params, mapper.cloud.geo_feats,
-        mapper.cloud.col_feats, mapper.cloud.pos, mapper.cloud.n_points,
-        mapper.index, w_color, w_depth, w_rq, w_c2w, w_exp,
-        jnp.asarray(10), jnp.asarray(500), jnp.asarray(9), frustum,
-        lr, lrc, jnp.asarray(0.001), jnp.asarray(1.0),
-        jnp.asarray(n_iters // 2), jnp.asarray(n_iters), jax.random.key(1))
-    return np.asarray(out[1][0])  # fetch forces completion
-
-
-for n in (2, 2, 52, 52):
+def timed_map(idx, n_iters):
+    cfg["mapping"]["iters"] = n_iters
     t0 = time.time()
-    run_optimize(n)
-    print(f"map_optimize n_iters={n}: {time.time()-t0:.2f}s")
+    mapper.map_frame(idx, color, depth, c2w, c2w)
+    np.asarray(mapper.cloud.packed[0, 0])
+    return time.time() - t0
 
-t2 = min(time.time() for _ in [0])  # noop
+
+# warm both budgets (compile), then measure best-of-3
+for n in (4, 54):
+    timed_map(1, n)
 ts = {}
-for n in (2, 52):
-    best = 1e9
-    for _ in range(3):
-        t0 = time.time()
-        run_optimize(n)
-        best = min(best, time.time() - t0)
-    ts[n] = best
-per_iter = (ts[52] - ts[2]) / 50
+for n in (4, 54):
+    ts[n] = min(timed_map(1, n) for _ in range(3))
+per_iter = (ts[54] - ts[4]) / 50
+print(f"map_frame n_iters=4: {ts[4]:.2f}s  n_iters=54: {ts[54]:.2f}s")
 print(f"mapping per-iteration: {per_iter*1e3:.1f} ms  "
-      f"(fixed overhead {ts[2]:.2f}s)")
+      f"(per-frame fixed overhead ~{ts[4] - 4*per_iter:.2f}s)")
+print(f"projected mapped frame at 300 iters: {ts[4] - 4*per_iter + 300*per_iter:.2f}s")
 
 # tracker
+cfg["mapping"]["iters"] = 300
 tracker = Tracker(cfg, 100)
-r_add, r_query, _, _ = mapper.radius_maps(jnp.asarray(color))
+_, r_query, _, _ = mapper.radius_maps(jnp.asarray(color))
 est = np.tile(np.eye(4, dtype=np.float32), (100, 1, 1))
 est[0] = c2w; est[1] = c2w
 
