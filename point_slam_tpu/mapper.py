@@ -326,33 +326,31 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
                  params, packed, n_points, index,
                  window_color, window_depth, window_rquery, window_c2w,
                  window_exposure, n_frames, pixs_per_image, cur_slot,
-                 sel, lr_geo_stage, lr_color_stage, lr_exposure,
+                 frustum, lr_geo_stage, lr_color_stage, lr_exposure,
                  fix_color, geo_iter_bound, n_iters, key,
                  it0=None, opt_in=None,
                  cams0=None, ba_mask=None, lr_ba=None,
                  ba_lo=None, ba_hi=None):
     """The per-frame mapping optimization: while_loop over joint iterations.
 
-    The cloud state rides as ONE packed (CAP, 72) buffer (geo|col|pos
-    columns, pointcloud layout): a single neighbor gather in the forward and
-    a single scatter-add in the backward. The DIFFERENTIABLE leaf is the
-    frustum-compacted row set ``packed[sel]`` (M, 72) — the reference
-    likewise optimizes only the frustum-selected feature rows
-    (src/Mapper.py:342-356) — so the Adam pass (7 HBM sweeps of the
-    param/moment arrays) runs over M rows instead of the full capacity, and
-    no full-buffer gradient mask is needed. Each iteration recomposes the
-    full buffer with one masked scatter (rows outside ``sel`` ride frozen).
-    Per-COLUMN learning-rate row: geometry columns get geometry_lr, color
-    columns color_lr, position columns 0 (positions also carry
-    stop_gradient, so they never move).
-
-    ``sel``: (M,) int32 row indices, padded with out-of-range (>= CAP)
-    entries — padded gathers fill 0, padded scatters drop.
+    The cloud state rides as ONE packed (CAP, 72) leaf (geo|col|pos columns,
+    pointcloud layout): a single neighbor gather in the forward, a single
+    scatter-add in the backward, and a single Adam pass with a per-COLUMN
+    learning-rate row (geometry columns get geometry_lr, color columns
+    color_lr, position columns 0 — positions also carry stop_gradient, so
+    their moments stay exactly zero and they never move). Frustum feature
+    selection (src/Mapper.py:342-356) is a GRADIENT MASK over the full
+    buffer, not a compacted leaf: a compacted packed[sel] variant was
+    measured 10 ms/iter SLOWER at 300k points (indexed gather/scatter
+    overhead swamps the ~2 ms full-buffer Adam sweep, and its
+    power-of-two row buckets forced multi-minute recompiles mid-run) —
+    see profiling/iter_breakdown.py rungs 7 vs 8.
 
     Traced knobs: LR triples [decoders, geometry_feats, color_feats] for each
-    stage, the geometry/color switch iteration, the iteration count, and a
-    0/1 multiplier freezing the color decoder (color refinement). Returns
-    updated (params, packed, window_exposure, stats, opt_state, key).
+    stage, the geometry/color switch iteration, the iteration count, the
+    frustum gradient mask, and a 0/1 multiplier freezing the color decoder
+    (color refinement). Returns updated (params, packed,
+    window_exposure, stats, opt_state, key).
 
     ``it0``/``opt_in`` resume a chunked run: the host splits long frames into
     launches of <= tpu.max_iters_per_launch iterations each (a single XLA
@@ -362,9 +360,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
     """
     window = dict(color=window_color, depth=window_depth, r_query=window_rquery)
 
-    rows0 = jnp.take(packed, sel, axis=0, mode="fill", fill_value=0.0,
-                     unique_indices=True, indices_are_sorted=True)
-    diff0 = {"col": params["col"], "rows": rows0,
+    diff0 = {"col": params["col"], "packed": packed,
              "exposure": window_exposure}
     if not ms.fix_geo_decoder:
         diff0["geo"] = params["geo"]
@@ -373,10 +369,6 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
     opt0 = adam.init_state(diff0) if opt_in is None else opt_in
     if it0 is None:
         it0 = jnp.zeros((), jnp.int32)
-
-    def compose_packed(rows):
-        return packed.at[sel].set(rows, mode="drop", unique_indices=True,
-                                  indices_are_sorted=True)
 
     def build_params(diff):
         p = {"col": diff["col"],
@@ -393,7 +385,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
     def loss_fn(diff, rays, it_key, stage_color):
         p = build_params(diff)
-        return _losses(ms, rc, p, compose_packed(diff["rows"]),
+        return _losses(ms, rc, p, diff["packed"],
                        diff["exposure"], n_points, index, rays,
                        window_poses(diff), it_key, stage_color)
 
@@ -420,9 +412,10 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
             lambda d: grad_col(d, rays, k_render),
             diff)
 
-        # gradient masking: frustum selection is structural (only rows in
-        # ``sel`` are leaves); exposure only for the current frame; color
-        # decoder frozen during refinement
+        # gradient masking: frustum-selected features only; exposure only for
+        # the current frame; color decoder frozen during refinement
+        fmask = frustum[:, None].astype(jnp.float32)
+        grads["packed"] = grads["packed"] * fmask
         grads["exposure"] = grads["exposure"] * exp_onehot
         grads["col"] = jax.tree_util.tree_map(lambda g: g * fix_color,
                                               grads["col"])
@@ -458,7 +451,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
         step_group("col", lrs[0], t_col)
         if not ms.fix_geo_decoder:
             step_group("geo", lrs[0], t_geo)
-        step_group("rows", lr_packed, t_packed)
+        step_group("packed", lr_packed, t_packed)
         step_group("exposure", lr_exposure, t_col)
         if ms.ba:
             # BA cams move only in iters [(ratio+0.2)N, (ratio+0.3)N]
@@ -477,7 +470,7 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
     it_out, diff, opt, key_out, stats = jax.lax.while_loop(cond, body, init)
 
     out_params = build_params(diff)
-    return (out_params, compose_packed(diff["rows"]),
+    return (out_params, diff["packed"],
             diff["exposure"], stats, opt, key_out,
             diff.get("cams"))
 
@@ -717,11 +710,9 @@ class Mapper:
             n_acc_total = int(nvals[0] + nvals[1])
             self.n_points_host = int(nvals[2])
 
-        # ---- frustum feature selection -> compacted row indices
-        # (src/Mapper.py:120-168,342-356: only frustum-visible features are
-        # optimizer leaves). sel_rows is (M,) sorted unique indices, M a
-        # power-of-two bucket (bounded recompiles), padded past the count
-        # with out-of-range values (gather fills 0, scatter drops).
+        # ---- frustum feature selection (gradient mask,
+        # src/Mapper.py:120-168,342-356; kept full-buffer — see the
+        # map_optimize docstring for the measured compaction trade-off)
         cap = self.cloud.pos.shape[0]
         if mp["frustum_feature_selection"] and not color_refine:
             frustum = pc.frustum_mask(
@@ -729,16 +720,8 @@ class Mapper:
                 jnp.linalg.inv(cur_c2w_dev), depth_dev,
                 self.ms.fx, self.ms.fy, self.ms.cx, self.ms.cy,
                 self.ms.frustum_edge)
-            n_sel = int(np.asarray(jnp.sum(frustum)))
         else:
             frustum = jnp.arange(cap) < self.cloud.n_points
-            n_sel = self.n_points_host
-        m_rows = min(1 << max(int(np.ceil(np.log2(max(n_sel, 1024)))), 0), cap)
-        sel_rows = jnp.nonzero(frustum, size=m_rows, fill_value=cap)[0]
-        sel_rows = jnp.where(
-            sel_rows >= cap,
-            cap + jnp.arange(m_rows, dtype=sel_rows.dtype), sel_rows
-        ).astype(jnp.int32)
 
         # ---- iteration budget (src/Mapper.py:404-406,713-726)
         if init:
@@ -839,7 +822,7 @@ class Mapper:
                     self.cloud.n_points,
                     self.index, w_color, w_depth, w_rq, w_c2w, w_exp_out,
                     jnp.asarray(n_frames), jnp.asarray(pixs_per_image),
-                    jnp.asarray(len(sel)), sel_rows, lr_geo, lr_col,
+                    jnp.asarray(len(sel)), frustum, lr_geo, lr_col,
                     jnp.asarray(0.001), fix_color, jnp.asarray(geo_bound),
                     jnp.asarray(n_end), key,
                     it0=jnp.asarray(it, jnp.int32), opt_in=opt_state,
