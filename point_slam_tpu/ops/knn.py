@@ -4,18 +4,24 @@ This is the TPU-native replacement for the reference's FAISS GPU IVFFlat
 index (src/neural_point.py:37-41,169-215 — top-8 squared L2 + per-query
 radius counts). Two strategies:
 
-* ``grid``  — voxel grid-hash stored as a *dense cell table*: a
-  (TABLE, C, 4) f32 array where row [h] holds up to C packed candidates
-  (xyz + bitcast int32 point id) of every point whose cell hashes to bucket
-  h; empty slots carry +inf positions so their distances are +inf without
-  any masking. Queries gather the 27-neighbor-cell blocks — one *wide-row*
-  gather (27 rows of C*16 bytes per query) instead of per-point 12-byte rows,
-  which is the difference between ~1 GB/s and near-bandwidth gather
-  throughput on TPU — and select top-k by exact squared distance. Since only
-  in-radius neighbors ever receive interpolation weight (decoder.py:157) and
-  the dedup/count tests are radius-bounded, radius-limited candidates are
-  semantically sufficient — and this search has *better* recall than the
-  reference's IVF nprobe=4/400.
+* ``grid``  — voxel grid-hash stored as a *dense cell table*: four
+  component PLANES x/y/z/id, each a (TABLE, C) f32 array whose row [h]
+  holds up to C candidates of every point whose cell hashes to bucket h;
+  empty slots carry +inf positions so their distances are +inf without any
+  masking. Queries gather the neighbor-cell blocks per plane — wide rows
+  (C*4 bytes) instead of per-point 12-byte rows, which is the difference
+  between ~1 GB/s and near-bandwidth gather throughput on TPU — and select
+  top-k by exact squared distance. The plane split (vs one packed
+  (TABLE, C, 4) array) feeds the Pallas ray kernel its component-major
+  layout directly, removing two materialized transpose copies that cost
+  1.3 ms per mapping iteration (profiling/knn_layout_micro.py: 5.49 ->
+  3.95 ms end-to-end), and lets queries skip gathering the id plane
+  entirely — winner ids are reconstructed from (probe, slot) indices with
+  a tiny (Q, k) gather. Since only in-radius neighbors ever receive
+  interpolation weight (decoder.py:157) and the dedup/count tests are
+  radius-bounded, radius-limited candidates are semantically sufficient —
+  and this search has *better* recall than the reference's IVF
+  nprobe=4/400.
 * ``brute`` — exact tiled scan with a running top-k merge; used as the test
   oracle and for small clouds.
 
@@ -50,18 +56,23 @@ class GridIndex(NamedTuple):
     The table carries one extra *sentinel* bucket at row ``table_size`` whose
     slots are all +inf — probes masked out (box overflow, hash-duplicate)
     point there and contribute +inf distances with no special-casing.
+
+    Stored as component planes (x, y, z, id), each (TABLE+1, C) f32 with
+    ids as float-VALUED integers; empty slots / the sentinel row hold +inf.
     """
-    table: jnp.ndarray       # (TABLE+1, C, 4) f32: xyz + float-valued id;
-                             # empty slots / sentinel row have +inf position
+    px: jnp.ndarray          # (TABLE+1, C) f32 candidate x
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    pid: jnp.ndarray         # (TABLE+1, C) f32 float-valued point id
     cell_size: jnp.ndarray   # () f32
 
     @property
     def table_size(self) -> int:
-        return self.table.shape[0] - 1
+        return self.px.shape[0] - 1
 
     @property
     def max_per_cell(self) -> int:
-        return self.table.shape[1]
+        return self.px.shape[1]
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "max_per_cell"))
@@ -98,14 +109,16 @@ def build_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
     # capped at 2^22). Bitcasting int32 bits into f32 is NOT safe here: small
     # ids are denormals and XLA flushes denormals to zero in ops like
     # concatenate.
-    packed = jnp.concatenate(
-        [pos_sorted.astype(jnp.float32),
-         order.astype(jnp.float32)[:, None]], axis=-1)
-    # one extra +inf sentinel bucket at row table_size (see GridIndex)
-    flat = jnp.full(((table_size + 1) * c, 4), jnp.inf, jnp.float32)
-    flat = flat.at[dst].set(packed, mode="drop")
-    flat = flat.at[table_size * c:].set(jnp.inf)
-    return GridIndex(flat.reshape(table_size + 1, c, 4),
+    # One component plane per scatter; one extra +inf sentinel bucket at row
+    # table_size (see GridIndex).
+    def plane(vals):
+        flat = jnp.full(((table_size + 1) * c,), jnp.inf, jnp.float32)
+        flat = flat.at[dst].set(vals.astype(jnp.float32), mode="drop")
+        flat = flat.at[table_size * c:].set(jnp.inf)
+        return flat.reshape(table_size + 1, c)
+
+    return GridIndex(plane(pos_sorted[:, 0]), plane(pos_sorted[:, 1]),
+                     plane(pos_sorted[:, 2]), plane(order),
                      jnp.asarray(cell_size, jnp.float32))
 
 
@@ -144,20 +157,24 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
         jnp.arange(27)[None, :, None] > jnp.arange(27)[None, None, :])
     probe_ok = ~jnp.any(dup, axis=-1)  # (Q, 27)
 
-    blocks = index.table[hs]                                 # (Q,27,C,4)
-    cand_pos = blocks[..., :3]
-
-    diff = cand_pos - q[:, None, None, :]
+    dx = index.px[hs] - q[:, None, None, 0]                  # (Q,27,C)
+    dy = index.py[hs] - q[:, None, None, 1]
+    dz = index.pz[hs] - q[:, None, None, 2]
+    # stack + sum mirrors the packed-table version's reduction exactly
+    # (bit-parity with the pre-plane-split implementation; XLA fuses the
+    # stack away)
+    diff = jnp.stack([dx, dy, dz], axis=-1)
     d2 = jnp.sum(diff * diff, axis=-1)                       # (Q,27,C)
     d2 = jnp.where(probe_ok[:, :, None], d2, jnp.inf).reshape(nq, 27 * c)
 
     neg_top, pos = jax.lax.top_k(-d2, k)
     dists = -neg_top
     # Reconstruct the point id of each winner with a tiny (Q,k) gather from
-    # the flat table instead of materializing + take_along_axis over the full
-    # (Q, 27*C) int32 candidate-id tensor (saves two 27*C-wide HBM passes).
+    # the flat id plane instead of materializing + take_along_axis over the
+    # full (Q, 27*C) int32 candidate-id tensor (saves two 27*C-wide HBM
+    # passes — the id plane is never gathered at query width at all).
     win_h = jnp.take_along_axis(hs, pos // c, axis=1)        # (Q,k)
-    flat_ids = index.table.reshape(-1, 4)[:, 3]
+    flat_ids = index.pid.reshape(-1)
     win_ids = flat_ids[win_h * c + (pos % c)]                # float-valued ids
     valid = jnp.isfinite(dists)
     idx = jnp.where(valid, win_ids, 0.0).astype(jnp.int32)
@@ -274,11 +291,15 @@ def _box_probes(q: jnp.ndarray, cell_size, table_size: int):
 
 
 def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
-    def kernel(cand_ref, qx_ref, qy_ref, qz_ref, out_p_ref, out_i_ref):
-        X = cand_ref[:, 0 * pc:1 * pc]
-        Y = cand_ref[:, 1 * pc:2 * pc]
-        Z = cand_ref[:, 2 * pc:3 * pc]
-        ids = cand_ref[:, 3 * pc:4 * pc]
+    """Min-extraction over packed (quantized-d2 | lane) keys. Winner point
+    ids are NOT extracted here: the packed key's lane index identifies
+    (probe, slot), and the caller reconstructs ids with a tiny (R*ns*k)
+    gather from the id plane — cheaper than either an in-kernel masked sum
+    over pc lanes per winner or an XLA take_along_axis epilogue."""
+    def kernel(x_ref, y_ref, z_ref, qx_ref, qy_ref, qz_ref, out_p_ref):
+        X = x_ref[...]
+        Y = y_ref[...]
+        Z = z_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
         for s in range(ns):
             dx = X - qx_ref[:, s][:, None]
@@ -291,8 +312,6 @@ def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
                 m = jnp.min(packed, axis=-1, keepdims=True)  # (BLK, 1)
                 sel = lane == (m & lane_mask)
                 out_p_ref[:, s * k + kk] = m[:, 0]
-                out_i_ref[:, s * k + kk] = jnp.sum(
-                    jnp.where(sel, ids, 0.0), axis=-1)
                 packed = jnp.where(sel, jnp.int32(0x7FFFFFFF), packed)
     return kernel
 
@@ -328,26 +347,34 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
     rp = r + pad
 
     probes, compact = _box_probes(q, index.cell_size, table_size)
-    blocks = index.table[probes]                             # (R,P,C,4)
-    cand = jnp.transpose(blocks, (0, 3, 1, 2)).reshape(rp, 4 * pc)
+    # Component-plane gathers feed the kernel its layout directly — no
+    # transpose/copy stage — and the id plane is not gathered at all
+    # (winner ids come from a (R*ns*k) gather below).
+    cx = index.px[probes].reshape(rp, pc)                    # (R, P*C)
+    cy = index.py[probes].reshape(rp, pc)
+    cz = index.pz[probes].reshape(rp, pc)
 
-    bs_c = pl.BlockSpec((_RAY_BLK, 4 * pc), lambda i: (i, 0),
+    bs_c = pl.BlockSpec((_RAY_BLK, pc), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     bs_q = pl.BlockSpec((_RAY_BLK, ns), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     bs_o = pl.BlockSpec((_RAY_BLK, ns * k), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    packed, ids = pl.pallas_call(
+    packed = pl.pallas_call(
         _ray_topk_kernel(ns, k, pc, lane_mask),
         grid=(rp // _RAY_BLK,),
-        in_specs=[bs_c, bs_q, bs_q, bs_q],
-        out_specs=(bs_o, bs_o),
-        out_shape=(jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
-                   jax.ShapeDtypeStruct((rp, ns * k), jnp.float32)),
+        in_specs=[bs_c, bs_c, bs_c, bs_q, bs_q, bs_q],
+        out_specs=bs_o,
+        out_shape=jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
         interpret=jax.default_backend() == "cpu",
-    )(cand, q[..., 0], q[..., 1], q[..., 2])
+    )(cx, cy, cz, q[..., 0], q[..., 1], q[..., 2])
 
     valid = packed < jnp.int32(0x7F800000)                   # quantized +inf
+    # winner (probe, slot) from the packed key's lane index -> id plane row
+    lanes = packed & jnp.int32(lane_mask)                    # (R, ns*k)
+    win_h = jnp.take_along_axis(probes, jnp.minimum(lanes // c, _P_RAY - 1),
+                                axis=1)                      # (R, ns*k)
+    ids = index.pid.reshape(-1)[win_h * c + lanes % c]
     idx = jnp.where(valid, ids, 0.0).astype(jnp.int32)
     d2q = jax.lax.bitcast_convert_type(packed & ~jnp.int32(lane_mask),
                                        jnp.float32)
