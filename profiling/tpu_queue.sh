@@ -1,0 +1,40 @@
+#!/bin/bash
+# Wait for the axon TPU tunnel to recover, then run the queued measurements
+# serially, each under its own timeout (the tunnel wedges for 1-2 h at a
+# time; a wedged step must not block the queue forever). Logs land in
+# /tmp/tpuq/.
+set -u
+mkdir -p /tmp/tpuq
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a /tmp/tpuq/queue.log; }
+
+health() {
+  timeout 90 python -c "
+import jax, jax.numpy as jnp, numpy as np
+y = jnp.ones((256,256)) @ jnp.ones((256,256))
+assert float(np.asarray(y)[0,0]) == 256.0
+" >/dev/null 2>&1
+}
+
+wait_healthy() {
+  for i in $(seq 1 40); do
+    if health; then log "TPU healthy"; return 0; fi
+    log "TPU wedged (attempt $i); sleeping 300s"
+    sleep 300
+  done
+  return 1
+}
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  wait_healthy || { log "giving up waiting for TPU"; exit 1; }
+  log "START $name"
+  timeout "$tmo" "$@" > "/tmp/tpuq/$name.log" 2>&1
+  local rc=$?
+  log "END $name rc=$rc"
+}
+
+cd /root/repo
+step iter_breakdown 1500 python profiling/iter_breakdown.py
+step bench 3000 python bench.py
+step gather_scatter 1200 python profiling/gather_scatter_micro.py
+log "queue done"

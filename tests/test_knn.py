@@ -98,6 +98,27 @@ def test_grid_knn_per_query_radius_counts():
     np.testing.assert_array_equal(counts, ref_counts)
 
 
+def test_build_grid_index_plane_consistency():
+    """The component planes must stay mutually consistent: every valid
+    point id appears exactly once, and its (px,py,pz) slots hold that
+    point's coordinates; the sentinel row is all +inf."""
+    cap, n = 1024, 700
+    pts, rng = make_cloud(n, cap, seed=7)
+    idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                               jnp.asarray(0.15))
+    px, py, pz, pid = (np.asarray(idx.px), np.asarray(idx.py),
+                       np.asarray(idx.pz), np.asarray(idx.pid))
+    fin = np.isfinite(pid)
+    ids = pid[fin].astype(np.int64)
+    assert sorted(ids.tolist()) == list(range(n))
+    np.testing.assert_array_equal(px[fin], pts[ids, 0])
+    np.testing.assert_array_equal(py[fin], pts[ids, 1])
+    np.testing.assert_array_equal(pz[fin], pts[ids, 2])
+    for plane in (px, py, pz):
+        assert not np.any(np.isfinite(plane[~fin]))
+        assert not np.any(np.isfinite(plane[-1]))
+
+
 def test_grid_knn_empty_cloud():
     cap = 128
     pts = np.full((cap, 3), 1e6, np.float32)
