@@ -386,6 +386,61 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
     return jax.tree.map(jax.lax.stop_gradient, out)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def grid_knn_subset(index: GridIndex, q_rays: jnp.ndarray, need: jnp.ndarray,
+                    k: int = 8, chunk: int = 512):
+    """Per-sample grid_knn over only the rays where ``need`` is True.
+
+    The renderer's non-compact fallback: grid_knn's TPU cost is set by its
+    static query count (27 x max_per_cell gathered rows per query), so running
+    it over the full (R*ns) batch with parked queries costs ~5 ms/iter even
+    when only a handful of rays need it. Instead, compact the needed ray ids
+    (``nonzero(size=R)``) and sweep them in fixed ``chunk``-ray slices inside
+    a ``lax.while_loop`` — the device cost is one small grid_knn launch per
+    ceil(n_needed/chunk), i.e. proportional to the actual fallback workload.
+
+    Args:
+        q_rays: (R, ns, 3) sample positions (ray-major, as ray_grid_knn).
+        need:   (R,) bool — rays to search; others are skipped.
+
+    Returns:
+        idx:   (R, ns, k) int32 — zeros on rays where need=False.
+        valid: (R, ns, k) bool  — False on rays where need=False.
+
+    Values on needed rays are bit-identical to ``grid_knn`` on the same
+    queries (it IS grid_knn, on a gathered subset).
+    """
+    r, ns, _ = q_rays.shape
+    ch = min(chunk, r)
+    need_idx = jnp.nonzero(need, size=r, fill_value=r)[0].astype(jnp.int32)
+    # pad so dynamic_slice never clamps (starts sweep 0..<n_need <= r)
+    need_pad = jnp.concatenate([need_idx, jnp.full((ch,), r, jnp.int32)])
+    # row r is the parked row: +inf-distance queries, results discarded
+    pts_pad = jnp.concatenate(
+        [q_rays.astype(jnp.float32), jnp.full((1, ns, 3), 1.0e6, jnp.float32)])
+    n_need = jnp.sum(need).astype(jnp.int32)
+
+    idx0 = jnp.zeros((r + 1, ns, k), jnp.int32)
+    val0 = jnp.zeros((r + 1, ns, k), bool)
+
+    def cond(st):
+        return st[0] < n_need
+
+    def body(st):
+        start, ip, vp = st
+        sel = jax.lax.dynamic_slice(need_pad, (start,), (ch,))   # (ch,)
+        qp = pts_pad[sel].reshape(ch * ns, 3)
+        _, i_f, v_f = grid_knn(index, qp, k=k)
+        # duplicate sel entries are all the parked row r writing identical
+        # zero rows — scatter order cannot matter
+        ip = ip.at[sel].set(i_f.reshape(ch, ns, k))
+        vp = vp.at[sel].set(v_f.reshape(ch, ns, k))
+        return (start + ch, ip, vp)
+
+    _, ip, vp = jax.lax.while_loop(cond, body, (jnp.int32(0), idx0, val0))
+    return ip[:r], vp[:r]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
 def brute_knn(points: jnp.ndarray, n_points: jnp.ndarray, queries: jnp.ndarray,
               k: int = 8, tile: int = 4096):

@@ -139,17 +139,19 @@ def render_rays(params: Dict[str, Any], packed, n_points,
         # of depth-free rays; long-depth rays whose 0.98d-1.02d span exceeds
         # the 4-cell box) would keep truncated neighbor sets; route those
         # (rare) non-compact rays through per-sample grid_knn. The fallback
-        # pass is gated by lax.cond: grid_knn's cost on TPU is set by its
-        # static shapes (probes x max_per_cell gathers), NOT by the query
-        # values, so running it with parked queries would double the render
-        # cost even when every ray is compact — the cond skips it entirely
-        # in that (overwhelmingly common) case and pays only a reduction.
+        # is grid_knn_subset — a chunked sweep over ONLY the non-compact
+        # rays, so its cost tracks the actual fallback workload instead of
+        # the full batch (a full-batch parked-query pass costs ~5 ms/iter at
+        # mapping scale because grid_knn's cost is set by its static query
+        # count, and realistic depth maps make some ray non-compact almost
+        # every iteration). The outer lax.cond still skips even the subset
+        # sweep when every ray is compact.
         def _fallback(_):
-            p_fb = jnp.where(compact[:, None, None], 1.0e6,
-                             jax.lax.stop_gradient(pts)).reshape(-1, 3)
-            d_f, i_f, v_f = knn.grid_knn(index, p_fb, k=rc.nn_num)
+            i_f, v_f = knn.grid_knn_subset(
+                index, jax.lax.stop_gradient(pts), ~compact, k=rc.nn_num)
             rep = jnp.repeat(compact, ns)[:, None]
-            return (jnp.where(rep, idx, i_f), jnp.where(rep, valid, v_f))
+            return (jnp.where(rep, idx, i_f.reshape(-1, rc.nn_num)),
+                    jnp.where(rep, valid, v_f.reshape(-1, rc.nn_num)))
 
         idx, valid = jax.lax.cond(
             jnp.any(~compact), _fallback, lambda _: (idx, valid),

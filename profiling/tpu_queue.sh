@@ -36,5 +36,7 @@ step() {  # step <name> <timeout_s> <cmd...>
 cd /root/repo
 step iter_breakdown 1500 python profiling/iter_breakdown.py
 step bench 3000 python bench.py
-step gather_scatter 1200 python profiling/gather_scatter_micro.py
-log "queue done"
+step geo_ab 7200 python profiling/geo_decoder_ab.py 150 20
+log "queue done; starting soak runner"
+bash profiling/soak_runner.sh >> /tmp/tpuq/soak_outer.log 2>&1
+log "soak runner finished rc=$?"

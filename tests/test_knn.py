@@ -196,6 +196,32 @@ def test_ray_grid_knn_flags_wide_rays_non_compact():
     assert bool(compact[1])
 
 
+def test_grid_knn_subset_matches_grid_knn():
+    """The chunked subset fallback returns bit-identical grid_knn results on
+    needed rays (including multi-chunk sweeps) and zeros elsewhere."""
+    cap, n, n_rays, ns = 4096, 3000, 40, 5
+    pts, rng = make_cloud(n, cap, seed=7)
+    q = _ray_queries(pts, n, rng, n_rays, ns)
+    index = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                                 jnp.asarray(0.2), table_size=1 << 14)
+    need = rng.random(n_rays) < 0.4
+    need[0] = True                                   # ensure non-empty
+    gd, gi, gv = knn.grid_knn(index, jnp.asarray(q.reshape(-1, 3)), k=8)
+    gi = np.asarray(gi).reshape(n_rays, ns, 8)
+    gv = np.asarray(gv).reshape(n_rays, ns, 8)
+    for chunk in (7, 512):                           # multi-chunk + one-shot
+        si, sv = knn.grid_knn_subset(index, jnp.asarray(q),
+                                     jnp.asarray(need), k=8, chunk=chunk)
+        si, sv = np.asarray(si), np.asarray(sv)
+        np.testing.assert_array_equal(si[need], gi[need])
+        np.testing.assert_array_equal(sv[need], gv[need])
+        assert not si[~need].any() and not sv[~need].any()
+    # empty need: no chunk runs, all zeros
+    si, sv = knn.grid_knn_subset(index, jnp.asarray(q),
+                                 jnp.zeros(n_rays, bool), k=8)
+    assert not np.asarray(si).any() and not np.asarray(sv).any()
+
+
 def test_ray_grid_knn_empty_cloud():
     cap = 128
     pts = np.full((cap, 3), 1e6, np.float32)
