@@ -13,11 +13,13 @@ radius counts). Two strategies:
   between ~1 GB/s and near-bandwidth gather throughput on TPU — and select
   top-k by exact squared distance. The plane split (vs one packed
   (TABLE, C, 4) array) feeds the Pallas ray kernel its component-major
-  layout directly, removing two materialized transpose copies that cost
-  1.3 ms per mapping iteration (profiling/knn_layout_micro.py: 5.49 ->
-  3.95 ms end-to-end), and lets queries skip gathering the id plane
-  entirely — winner ids are reconstructed from (probe, slot) indices with
-  a tiny (Q, k) gather. Since only in-radius neighbors ever receive
+  layout directly, removing two materialized transpose copies
+  (profiling/knn_layout_micro.py). The ray kernel gathers the id plane at
+  probe width alongside the coordinate planes and extracts winner ids
+  in-kernel by masked sum — reconstructing ids outside the kernel with a
+  flat (R*ns*k) gather lowers to per-element row DMA and costs ~5.7 ms/iter
+  at mapping scale (profiling/geo_fwd_split.py). Since only in-radius
+  neighbors ever receive
   interpolation weight (decoder.py:157) and the dedup/count tests are
   radius-bounded, radius-limited candidates are semantically sufficient —
   and this search has *better* recall than the reference's IVF
@@ -292,14 +294,20 @@ def _box_probes(q: jnp.ndarray, cell_size, table_size: int):
 
 def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
     """Min-extraction over packed (quantized-d2 | lane) keys. Winner point
-    ids are NOT extracted here: the packed key's lane index identifies
-    (probe, slot), and the caller reconstructs ids with a tiny (R*ns*k)
-    gather from the id plane — cheaper than either an in-kernel masked sum
-    over pc lanes per winner or an XLA take_along_axis epilogue."""
-    def kernel(x_ref, y_ref, z_ref, qx_ref, qy_ref, qz_ref, out_p_ref):
+    ids ARE extracted in-kernel by a masked sum over the gathered id-plane
+    block: the winner's lane mask selects exactly one lane, so
+    sum(where(sel, id, 0)) is the id — one VPU reduce per winner, all in
+    VMEM. The alternatives are far worse on TPU: an XLA take_along_axis
+    epilogue or a flat (R*ns*k) gather from the id plane both lower to
+    per-ELEMENT row DMA (~5.7 ms/iter at mapping scale, measured in
+    profiling/geo_fwd_split.py — the id reconstruction cost only shows up
+    when idx is actually consumed; d-only micros let XLA dead-code it)."""
+    def kernel(x_ref, y_ref, z_ref, ci_ref, qx_ref, qy_ref, qz_ref,
+               out_p_ref, out_i_ref):
         X = x_ref[...]
         Y = y_ref[...]
         Z = z_ref[...]
+        CI = ci_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
         for s in range(ns):
             dx = X - qx_ref[:, s][:, None]
@@ -312,6 +320,8 @@ def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
                 m = jnp.min(packed, axis=-1, keepdims=True)  # (BLK, 1)
                 sel = lane == (m & lane_mask)
                 out_p_ref[:, s * k + kk] = m[:, 0]
+                out_i_ref[:, s * k + kk] = jnp.sum(
+                    jnp.where(sel, CI, 0.0), axis=-1)
                 packed = jnp.where(sel, jnp.int32(0x7FFFFFFF), packed)
     return kernel
 
@@ -348,11 +358,13 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
 
     probes, compact = _box_probes(q, index.cell_size, table_size)
     # Component-plane gathers feed the kernel its layout directly — no
-    # transpose/copy stage — and the id plane is not gathered at all
-    # (winner ids come from a (R*ns*k) gather below).
+    # transpose/copy stage. The id plane is gathered at probe width like
+    # the coordinate planes; winner ids come out of the kernel (see
+    # _ray_topk_kernel for why an XLA id-reconstruction epilogue loses).
     cx = index.px[probes].reshape(rp, pc)                    # (R, P*C)
     cy = index.py[probes].reshape(rp, pc)
     cz = index.pz[probes].reshape(rp, pc)
+    ci = index.pid[probes].reshape(rp, pc)
 
     bs_c = pl.BlockSpec((_RAY_BLK, pc), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -360,21 +372,17 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
                         memory_space=pltpu.VMEM)
     bs_o = pl.BlockSpec((_RAY_BLK, ns * k), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    packed = pl.pallas_call(
+    packed, ids = pl.pallas_call(
         _ray_topk_kernel(ns, k, pc, lane_mask),
         grid=(rp // _RAY_BLK,),
-        in_specs=[bs_c, bs_c, bs_c, bs_q, bs_q, bs_q],
-        out_specs=bs_o,
-        out_shape=jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
+        in_specs=[bs_c, bs_c, bs_c, bs_c, bs_q, bs_q, bs_q],
+        out_specs=[bs_o, bs_o],
+        out_shape=[jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
+                   jax.ShapeDtypeStruct((rp, ns * k), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
-    )(cx, cy, cz, q[..., 0], q[..., 1], q[..., 2])
+    )(cx, cy, cz, ci, q[..., 0], q[..., 1], q[..., 2])
 
     valid = packed < jnp.int32(0x7F800000)                   # quantized +inf
-    # winner (probe, slot) from the packed key's lane index -> id plane row
-    lanes = packed & jnp.int32(lane_mask)                    # (R, ns*k)
-    win_h = jnp.take_along_axis(probes, jnp.minimum(lanes // c, _P_RAY - 1),
-                                axis=1)                      # (R, ns*k)
-    ids = index.pid.reshape(-1)[win_h * c + lanes % c]
     idx = jnp.where(valid, ids, 0.0).astype(jnp.int32)
     d2q = jax.lax.bitcast_convert_type(packed & ~jnp.int32(lane_mask),
                                        jnp.float32)

@@ -34,6 +34,7 @@ step() {  # step <name> <timeout_s> <cmd...>
 }
 
 cd /root/repo
+step geo_fwd_split 1800 python profiling/geo_fwd_split.py
 step iter_breakdown 1500 python profiling/iter_breakdown.py
 step bench 3000 python bench.py
 step geo_ab 7200 python profiling/geo_decoder_ab.py 150 20
