@@ -34,6 +34,7 @@ step() {  # step <name> <timeout_s> <cmd...>
 }
 
 cd /root/repo
+step knn_quad 1200 python profiling/knn_quad_micro.py
 step geo_fwd_split 1800 python profiling/geo_fwd_split.py
 step iter_breakdown 1500 python profiling/iter_breakdown.py
 step bench 3000 python bench.py
