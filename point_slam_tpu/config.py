@@ -27,6 +27,10 @@ TPU_DEFAULTS: Dict[str, Any] = {
         "ray_knn": "auto",                # ray-shared Pallas kNN in the
                                           # renderer: 'auto' (TPU only) |
                                           # True | False
+        "fused_adam": "auto",             # Pallas fused row-Adam over the
+                                          # packed feature buffer (mask +
+                                          # moments + step in ONE HBM sweep):
+                                          # 'auto' (TPU only) | True | False
         "grid_max_per_cell": 64,          # candidate cap per hash cell; real
                                           # clouds are dedup-radius-bounded
                                           # (measured p99 occupancy 44, max 76

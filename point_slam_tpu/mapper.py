@@ -58,6 +58,7 @@ class MapperStatic(NamedTuple):
     max_iters: int        # safety bound for the while_loop
     dp: int = 1           # data-parallel devices (rays shard over 'dp')
     ba: bool = False      # bundle adjustment: optimize window cameras
+    fused_adam: bool = False  # Pallas fused row-Adam for the packed leaf
 
 
 class KeyframeRing(NamedTuple):
@@ -414,8 +415,10 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
         # gradient masking: frustum-selected features only; exposure only for
         # the current frame; color decoder frozen during refinement
-        fmask = frustum[:, None].astype(jnp.float32)
-        grads["packed"] = grads["packed"] * fmask
+        if not ms.fused_adam:
+            # fused path folds the frustum row mask into the Adam kernel
+            grads["packed"] = grads["packed"] * frustum[:, None].astype(
+                jnp.float32)
         grads["exposure"] = grads["exposure"] * exp_onehot
         grads["col"] = jax.tree_util.tree_map(lambda g: g * fix_color,
                                               grads["col"])
@@ -451,7 +454,16 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
         step_group("col", lrs[0], t_col)
         if not ms.fix_geo_decoder:
             step_group("geo", lrs[0], t_geo)
-        step_group("packed", lr_packed, t_packed)
+        if ms.fused_adam:
+            p, st = adam.update_rows(
+                diff["packed"], grads["packed"],
+                {"m": opt["m"]["packed"], "v": opt["v"]["packed"]},
+                t_packed, lr_packed, frustum)
+            new_diff["packed"] = p
+            new_opt["m"]["packed"] = st["m"]
+            new_opt["v"]["packed"] = st["v"]
+        else:
+            step_group("packed", lr_packed, t_packed)
         step_group("exposure", lr_exposure, t_col)
         if ms.ba:
             # BA cams move only in iters [(ratio+0.2)N, (ratio+0.3)N]
@@ -528,7 +540,13 @@ class Mapper:
 
         dp = int(cfg["tpu"].get("data_parallel", 1) or 1)
         r_max = -(-mp["pixels"] // dp) * dp  # pad rays to the dp axis
+        fused = cfg["tpu"].get("fused_adam", "auto")
+        if fused == "auto":
+            # interpret-mode Pallas on CPU is for tests only; the fused
+            # kernel pays off on real hardware
+            fused = jax.default_backend() not in ("cpu",)
         self.ms = MapperStatic(
+            fused_adam=bool(fused),
             h=h, w=w, fx=cam["fx"], fy=cam["fy"], cx=cam["cx"], cy=cam["cy"],
             r_max=r_max, f_max=f_max, dp=dp,
             w_color_loss=mp["w_color_loss"], frustum_edge=mp["frustum_edge"],

@@ -221,6 +221,25 @@ def s_full_rows(k, b):
     return mix(k, acc)
 
 
+# rung 9: FULL-BUFFER step with the fused Pallas row-Adam for the packed
+# leaf (mask + moments + step in one HBM sweep; ops/adam.update_rows)
+def s_full_fused(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
+    g = grad_col(b["diff0"], b, rays, k)
+    p_col, _ = adam.update(b["diff0"]["col"], g["col"],
+                           {"m": b["opt0"]["m"]["col"],
+                            "v": b["opt0"]["v"]["col"]},
+                           jnp.asarray(1.0), jnp.asarray(0.01))
+    t_row = jnp.ones((g["packed"].shape[1],), jnp.float32)
+    lr_row = jnp.full((g["packed"].shape[1],), 0.01, jnp.float32)
+    p_pk, _ = adam.update_rows(b["diff0"]["packed"], g["packed"],
+                               {"m": b["opt0"]["m"]["packed"],
+                                "v": b["opt0"]["v"]["packed"]},
+                               t_row, lr_row, b["frustum"])
+    acc = jax.tree_util.tree_leaves(p_col)[0].ravel()[0] + p_pk[0, 0]
+    return mix(k, acc)
+
+
 t1 = chain("1 sample rays        ", s_sample)
 t2 = chain("2 + kNN              ", s_knn)
 t3 = chain("3 + geo fwd loss     ", s_geo_fwd)
@@ -229,7 +248,9 @@ t5 = chain("5 geo grad           ", s_geo_grad)
 t6 = chain("6 col grad           ", s_col_grad)
 t7 = chain("7 full-buffer step   ", s_full)
 t8 = chain("8 compacted-row step ", s_full_rows)
+t9 = chain("9 fused-adam step    ", s_full_fused)
 print(f"\nkNN cost: {(t2-t1)*1e3:.1f} ms | geo-MLP fwd: {(t3-t2)*1e3:.1f} | "
       f"col extras fwd: {(t4-t3)*1e3:.1f} | geo bwd: {(t5-t3)*1e3:.1f} | "
       f"col bwd: {(t6-t4)*1e3:.1f} | adam: {(t7-t6)*1e3:.1f} | "
-      f"compaction saves: {(t7-t8)*1e3:.1f} ms/iter")
+      f"compaction saves: {(t7-t8)*1e3:.1f} ms/iter | "
+      f"fused-adam saves: {(t7-t9)*1e3:.1f} ms/iter")

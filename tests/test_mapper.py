@@ -224,3 +224,54 @@ def test_host_ring_matches_device_ring():
     lb = jax.tree_util.tree_leaves(b.params)
     for x, y in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_fused_row_adam_matches_reference_update():
+    """ops/adam.update_rows (Pallas fused mask+moments+step) must match the
+    plain update() with pre-masked gradients to ~1 ulp (XLA contracts
+    a*x+b*y into FMA, the kernel may not; the formula is identical)."""
+    from point_slam_tpu.ops import adam
+    rng = np.random.default_rng(11)
+    n, w = 2048, 72
+    p = jnp.asarray(rng.standard_normal((n, w)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((n, w)), jnp.float32)
+    m = jnp.asarray(0.1 * rng.standard_normal((n, w)), jnp.float32)
+    v = jnp.asarray(0.01 * abs(rng.standard_normal((n, w))), jnp.float32)
+    mask = jnp.asarray(rng.random(n) < 0.7)
+    t_row = jnp.asarray(rng.integers(1, 40, w), jnp.float32)
+    lr_row = jnp.asarray(rng.uniform(1e-4, 3e-2, w), jnp.float32)
+
+    ref_p, ref_st = adam.update(
+        p, g * mask[:, None].astype(jnp.float32),
+        {"m": m, "v": v}, t_row, lr_row)
+    fus_p, fus_st = adam.update_rows(
+        p, g, {"m": m, "v": v}, t_row, lr_row, mask)
+    np.testing.assert_allclose(np.asarray(ref_p), np.asarray(fus_p),
+                               rtol=3e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ref_st["m"]),
+                               np.asarray(fus_st["m"]), rtol=3e-7, atol=3e-8)
+    np.testing.assert_allclose(np.asarray(ref_st["v"]),
+                               np.asarray(fus_st["v"]), rtol=3e-7, atol=3e-8)
+
+
+def test_fused_adam_map_frame_matches_unfused(tmp_path):
+    """A mapped frame with tpu.fused_adam on equals the unfused path (CPU
+    interpret mode; bit-exactness is asserted at the adam-step level above,
+    here the whole map_frame must agree; tolerance covers ulp-level FMA
+    drift amplified over the frame's iterations)."""
+    results = {}
+    for fused in (False, True):
+        cfg = tiny_cfg()
+        cfg["data"]["output"] = str(tmp_path / f"fused_{fused}")
+        cfg["tpu"]["fused_adam"] = fused
+        rng = np.random.default_rng(3)
+        params = D.init_decoders(jax.random.key(0), cfg)
+        ds = get_dataset(cfg)
+        mapper = Mapper(cfg, params, len(ds), rng)
+        _, color, depth, c2w = ds[0]
+        mapper.map_frame(0, color, depth, c2w, c2w)
+        results[fused] = (np.asarray(mapper.cloud.packed),
+                          int(mapper.cloud.n_points))
+    assert results[False][1] == results[True][1]
+    np.testing.assert_allclose(results[False][0], results[True][0],
+                               rtol=1e-3, atol=1e-4)
