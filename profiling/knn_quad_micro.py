@@ -107,10 +107,63 @@ def ray_knn_quad(quad, q_rays):
     return packed, idx, valid
 
 
+def planes_kernel(ns, k):
+    """Self-contained copy of the 4-plane kernel (the tree may move to the
+    quad layout; this micro must keep comparing the two layouts)."""
+    def kernel(x_ref, y_ref, z_ref, ci_ref, qx_ref, qy_ref, qz_ref,
+               out_p_ref, out_i_ref):
+        X, Y, Z, CI = x_ref[...], y_ref[...], z_ref[...], ci_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+        for s in range(ns):
+            dx = X - qx_ref[:, s][:, None]
+            dy = Y - qy_ref[:, s][:, None]
+            dz = Z - qz_ref[:, s][:, None]
+            d2 = dx * dx + dy * dy + dz * dz
+            packed = ((jax.lax.bitcast_convert_type(d2, jnp.int32)
+                       & ~jnp.int32(lane_mask)) | lane)
+            for kk in range(k):
+                m = jnp.min(packed, axis=-1, keepdims=True)
+                sel = lane == (m & lane_mask)
+                out_p_ref[:, s * k + kk] = m[:, 0]
+                out_i_ref[:, s * k + kk] = jnp.sum(
+                    jnp.where(sel, CI, 0.0), axis=-1)
+                packed = jnp.where(sel, jnp.int32(0x7FFFFFFF), packed)
+    return kernel
+
+
+px = index.px + 0.0
+py = index.py + 0.0
+pz = index.pz + 0.0
+pid = index.pid + 0.0
+jax.block_until_ready((px, py, pz, pid))
+
+
 @jax.jit
-def ray_knn_planes(index, q_rays):
-    d, i, v, _ = knn.ray_grid_knn(index, q_rays, k=K)
-    return d, i, v
+def ray_knn_planes(px, py, pz, pid, q_rays):
+    r, ns, _ = q_rays.shape
+    probes, compact = _box_probes(q_rays, index.cell_size, TABLE)
+    cx = px[probes].reshape(r, pc)
+    cy = py[probes].reshape(r, pc)
+    cz = pz[probes].reshape(r, pc)
+    ci = pid[probes].reshape(r, pc)
+    bs_c = pl.BlockSpec((_RAY_BLK, pc), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bs_q = pl.BlockSpec((_RAY_BLK, ns), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    bs_o = pl.BlockSpec((_RAY_BLK, ns * K), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    packed, ids = pl.pallas_call(
+        planes_kernel(ns, K),
+        grid=(r // _RAY_BLK,),
+        in_specs=[bs_c, bs_c, bs_c, bs_c, bs_q, bs_q, bs_q],
+        out_specs=[bs_o, bs_o],
+        out_shape=[jax.ShapeDtypeStruct((r, ns * K), jnp.int32),
+                   jax.ShapeDtypeStruct((r, ns * K), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(cx, cy, cz, ci, q_rays[..., 0], q_rays[..., 1], q_rays[..., 2])
+    valid = packed < jnp.int32(0x7F800000)
+    idx = jnp.where(valid, ids, 0.0).astype(jnp.int32)
+    return packed, idx, valid
 
 
 def bench(name, fn, *args):
@@ -128,7 +181,7 @@ def bench(name, fn, *args):
 
 
 print(f"devices: {jax.devices()}", flush=True)
-o1 = bench("planes (current) ", ray_knn_planes, index, q)
+o1 = bench("planes           ", ray_knn_planes, px, py, pz, pid, q)
 o2 = bench("quad-planar      ", ray_knn_quad, quad, q)
 
 # parity: same winner ids (selection identical: same packed keys)

@@ -153,3 +153,26 @@ def test_encode_neighbor_feats_shape():
     nf = jnp.asarray(rng.normal(size=(10, 8, 32)), jnp.float32)
     out = D.encode_neighbor_feats(params["col"], npos, p, nf)
     assert out.shape == (10, 8, 32)
+
+
+def test_pretrain_geo_npz_roundtrip(tmp_path):
+    """save_geo_npz (tools/pretrain_geo) -> load_pretrained_geo restores the
+    geometry decoder bit-exactly, INCLUDING the Fourier embedder matrix the
+    MLP weights are tied to."""
+    from point_slam_tpu.tools.pretrain_geo import save_geo_npz
+
+    src = D.init_decoders(jax.random.key(11), base_cfg())
+    path = str(tmp_path / "geo.npz")
+    n = save_geo_npz(src["geo"], path)
+    n_lin = len(src["geo"]["pts_linears"]) + len(src["geo"]["fc_c"]) + 1
+    assert n == 2 * n_lin + 1  # weights+biases + embedder._B
+
+    dst = D.init_decoders(jax.random.key(99), base_cfg())  # different init
+    loaded = D.load_pretrained_geo(dst, path)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded["geo"]),
+                    jax.tree_util.tree_leaves(src["geo"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # color decoder untouched
+    for a, b in zip(jax.tree_util.tree_leaves(loaded["col"]),
+                    jax.tree_util.tree_leaves(dst["col"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
