@@ -140,6 +140,14 @@ def main():
                         help="reuse renders already in output dir")
     parser.add_argument("--clean", action="store_true")
     parser.add_argument("--voxel", type=float, default=5.0 / 512.0)
+    # reference CLI surface (get_mesh_tsdf_fusion.py:161-187):
+    parser.add_argument("--no_eval", action="store_true",
+                        help="skip reconstruction eval after meshing")
+    parser.add_argument("-s", "--silent", action="store_true")
+    parser.add_argument("--exposure_avail", action="store_true",
+                        help="accepted for reference-script compatibility; "
+                             "exposure snapshots restore automatically from "
+                             "the checkpoint when present")
     args = parser.parse_args()
 
     from point_slam_tpu.config import load_config
@@ -152,6 +160,8 @@ def main():
         os.path.abspath(__file__))))
     cfg = load_config(args.config, os.path.join(here, "configs",
                                                 "point_slam.yaml"))
+    if args.silent:
+        cfg["verbose"] = False
     slam = PointSLAM(cfg, output=args.output)
     ckpts = sorted(glob.glob(os.path.join(args.output, "ckpts", "*.npz")))
     assert ckpts, "no checkpoint found"
@@ -174,6 +184,25 @@ def main():
         rerender_frames(slam, args.output, save_renders=True, eval_img=False)
     mesh_from_renders(slam, args.output, mesh_path, clean=args.clean or None,
                       voxel=args.voxel)
+
+    # post-mesh reconstruction eval (the reference's eval subprocess,
+    # src/tools/get_mesh_tsdf_fusion.py:356-373); needs a GT mesh —
+    # meshing.gt_mesh or the dataset's analytic one
+    if not args.no_eval:
+        from point_slam_tpu.tools.evaluate import eval_reconstruction
+        has_gt = bool(cfg.get("meshing", {}).get("gt_mesh")) or \
+            hasattr(slam.dataset, "gt_mesh")
+        if has_gt:
+            import json
+            res = eval_reconstruction(slam, cfg, mesh_path, args.output)
+            print(json.dumps({k: float(v) for k, v in res.items()},
+                             indent=1))
+            with open(os.path.join(args.output, "mesh",
+                                   "recon_eval.json"), "w") as f:
+                json.dump({k: float(v) for k, v in res.items()}, f, indent=1)
+        elif not args.silent:
+            print("no GT mesh configured (meshing.gt_mesh) -> skipping "
+                  "reconstruction eval")
 
 
 if __name__ == "__main__":

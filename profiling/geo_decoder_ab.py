@@ -25,7 +25,7 @@ sys.path.insert(0, HERE)
 import numpy as np
 
 
-def run_variant(tag, n_frames, fix_after):
+def run_variant(tag, n_frames, fix_after, pretrained=""):
     import jax
     from point_slam_tpu.config import load_config
     from point_slam_tpu.slam import PointSLAM
@@ -36,6 +36,13 @@ def run_variant(tag, n_frames, fix_after):
         os.path.join(HERE, "configs", "point_slam.yaml"))
     cfg["synthetic"]["n_frames"] = n_frames
     cfg["mapping"]["fix_geo_decoder_after"] = fix_after
+    # explicit decoder regime per variant (the config default would
+    # otherwise flip behavior depending on whether the pretrained npz
+    # exists in the tree):
+    #   pretrained="..." -> reference regime: load + freeze for the run
+    #   pretrained=""    -> auto-train regime (optionally freeze at N)
+    cfg["pretrained_decoders"] = {"middle_fine": pretrained}
+    cfg["mapping"]["fix_geo_decoder"] = bool(pretrained)
     cfg["reconstruction_datasets"] = ["synthetic"]
     cfg["render_datasets"] = ["synthetic"]
     cfg["rendering"]["eval_img"] = True
@@ -70,6 +77,14 @@ def main():
         run_variant("train_always", n_frames, 0),
         run_variant(f"freeze_after_{freeze_after}", n_frames, freeze_after),
     ]
+    # reference regime: pretrained decoder loaded and frozen for the whole
+    # run (src/Point_SLAM.py:143-164) — runs when the artifact exists
+    # (tools/pretrain_geo.py produces it; override via PRETRAIN_NPZ)
+    npz = os.environ.get(
+        "PRETRAIN_NPZ", os.path.join(HERE, "pretrained", "middle_fine.npz"))
+    if os.path.exists(npz):
+        rows.append(run_variant("pretrained_frozen", n_frames, 0,
+                                pretrained=npz))
     print("\n| variant | ATE cm | F-score | PSNR | MS-SSIM | depth L1 cm |")
     print("|---|---|---|---|---|---|")
     for r in rows:

@@ -1,0 +1,129 @@
+"""Mapped-frame fixed costs OUTSIDE the optimization loop, at bench scale.
+
+A mapped frame is ~n_iters x the per-iteration cost (iter_breakdown.py)
+plus extras: densification (sample rays -> add_points -> index rebuild,
+twice: uniform + color-grad candidates, reference parity
+src/Mapper.py:306-331 + src/neural_point.py:161-164), frustum mask,
+keyframe window selection and gather. This measures each extra standalone
+so `mapped frame - n_iters*iter` has an itemized explanation.
+
+Every stage is forced with np.asarray (axon block_until_ready lies);
+N repetitions amortize the launch RTT.
+"""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from point_slam_tpu.config import load_config
+from point_slam_tpu.datasets import get_dataset
+from point_slam_tpu.mapper import Mapper, sample_add_rays, sample_grad_rays
+from point_slam_tpu.models import decoders as D
+import point_slam_tpu.pointcloud as pc
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+cfg = load_config(os.path.join(HERE, "configs", "Synthetic", "room.yaml"),
+                  os.path.join(HERE, "configs", "point_slam.yaml"))
+cfg["synthetic"].update({"n_frames": 4, "angular_step": 0.01})
+cfg["cam"].update({"H": 680, "W": 1200, "fx": 600.0, "fy": 600.0,
+                   "cx": 599.5, "cy": 339.5})
+cfg["mapping"].update({
+    "pixels": 5000, "pixels_adding": 6000,
+    "pixels_based_on_color_grad": 1000, "iters": 300, "iters_first": 60,
+    "geo_iter_first": 30, "mapping_window_size": 12, "keyframe_every": 5,
+})
+cfg["rendering"]["sample_near_pcl"] = False
+cfg["tpu"].update({"point_capacity_init": 1 << 19})
+cfg["verbose"] = False
+
+ds = get_dataset(cfg)
+rng = np.random.default_rng(0)
+mapper = Mapper(cfg, D.init_decoders(jax.random.key(0), cfg), 100, rng)
+_, color, depth, c2w = ds[0]
+
+# realistic 300k-point cloud (same as iter_breakdown.py)
+CAP = mapper.cloud.pos.shape[0]
+NPTS = 300_000
+u = rng.uniform(-2.5, 2.5, (NPTS, 2)).astype(np.float32)
+pts = np.stack([u[:, 0], u[:, 1],
+                -2.0 + 0.3 * np.sin(u[:, 0] * 3)], -1).astype(np.float32)
+pos = np.full((CAP, 3), 1e6, np.float32)
+pos[:NPTS] = pts
+mapper.cloud = mapper.cloud._replace(
+    packed=mapper.cloud.packed.at[:, pc.POS_SL].set(jnp.asarray(pos)),
+    n_points=jnp.asarray(NPTS, jnp.int32))
+mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
+                              mapper.table_size, mapper.max_per_cell)
+ms = mapper.ms
+cd, dd = jnp.asarray(color), jnp.asarray(depth)
+c2w_dev = jnp.asarray(c2w)
+radius = mapper.radius_maps(cd)
+r_add, r_query, cand_idx, cand_ok = radius
+key = jax.random.key(0)
+
+N = 10
+
+
+def force(out):
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+
+
+def bench(name, fn, *args):
+    out = fn(*args)   # compile
+    force(out)
+    t0 = time.time()
+    for _ in range(N):
+        force(fn(*args))
+    print(f"{name}: {(time.time()-t0)/N*1e3:8.1f} ms", flush=True)
+    return out
+
+
+bench("radius maps (shared/frame)  ", mapper.radius_maps, cd)
+
+o, d, dep, col, ra, valid = sample_add_rays(
+    ms, key, c2w_dev, cd, dd, r_add, jnp.asarray(6000))
+
+
+def densify_once(o, d, dep, col, ra, valid):
+    cloud, n1 = pc.add_points(
+        mapper.cloud, mapper.index, o, d, dep, col, valid, ra,
+        key, ms.near_end_surface_pc, ms.far_end_surface_pc,
+        n_add=ms.n_add,
+        fix_interval=cfg["pointcloud"]["fix_interval_when_add_along_ray"])
+    return cloud.n_points, n1
+
+
+bench("sample_add_rays (6000)      ", sample_add_rays, ms, key, c2w_dev,
+      cd, dd, r_add, jnp.asarray(6000))
+bench("add_points (dedup+scatter)  ", densify_once, o, d, dep, col, ra, valid)
+bench("build_index (rebuild)       ", pc.build_index, mapper.cloud,
+      mapper.cell_size, mapper.table_size, mapper.max_per_cell)
+bench("sample_grad_rays (1000)     ", sample_grad_rays, ms, key, c2w_dev,
+      cd, dd, r_add, cand_idx, cand_ok)
+bench("frustum_mask (CAP pts)      ", pc.frustum_mask, mapper.cloud.pos,
+      mapper.cloud.n_points, jnp.linalg.inv(c2w_dev), dd,
+      ms.fx, ms.fy, ms.cx, ms.cy, ms.frustum_edge)
+
+# keyframe window machinery at window_size 12 with a populated store
+for i in range(12):
+    mapper.store.append(cd, dd, r_query, np.asarray(c2w), np.asarray(c2w),
+                        mapper.exposure_feat)
+    mapper.keyframe_list.append(i * 5)
+
+
+def select_and_gather():
+    sel = mapper.select_keyframes(c2w_dev, cd, dd)
+    return mapper.store.gather_window(sel, ms.f_max)
+
+
+t0 = time.time()
+for _ in range(N):
+    out = select_and_gather()
+    force(out)
+print(f"select+gather_window (12kf) : "
+      f"{(time.time()-t0)/N*1e3:8.1f} ms", flush=True)
+print("done")

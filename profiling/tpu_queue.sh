@@ -34,11 +34,21 @@ step() {  # step <name> <timeout_s> <cmd...>
 }
 
 cd /root/repo
+# timing steps want the host core to themselves: once the TPU is healthy,
+# pause the CPU pretraining job (if running) for the timing steps
+wait_healthy || { log "giving up waiting for TPU"; exit 1; }
+PRETRAIN_PID=$(cat /tmp/pretrain_geo.pid 2>/dev/null || true)
+[ -n "${PRETRAIN_PID}" ] && kill -STOP "$PRETRAIN_PID" 2>/dev/null \
+  && log "paused pretrain pid $PRETRAIN_PID"
 step knn_quad 1200 python profiling/knn_quad_micro.py
 step geo_fwd_split 1800 python profiling/geo_fwd_split.py
 step iter_breakdown 1500 python profiling/iter_breakdown.py
+step map_frame_overhead 1500 python profiling/map_frame_overhead.py
 step bench 3000 python bench.py
-step geo_ab 7200 python profiling/geo_decoder_ab.py 150 20
+[ -n "${PRETRAIN_PID}" ] && kill -CONT "$PRETRAIN_PID" 2>/dev/null \
+  && log "resumed pretrain pid $PRETRAIN_PID"
+step geo_ab 9000 env PRETRAIN_NPZ=/tmp/pretrain_geo/middle_fine.npz \
+  python profiling/geo_decoder_ab.py 150 20
 log "queue done; starting soak runner"
 bash profiling/soak_runner.sh >> /tmp/tpuq/soak_outer.log 2>&1
 log "soak runner finished rc=$?"
