@@ -4,26 +4,26 @@ This is the TPU-native replacement for the reference's FAISS GPU IVFFlat
 index (src/neural_point.py:37-41,169-215 — top-8 squared L2 + per-query
 radius counts). Two strategies:
 
-* ``grid``  — voxel grid-hash stored as a *dense cell table*: one
-  QUAD-PLANAR (TABLE, 4, C) f32 array whose bucket row [h] holds the four
-  components x|y|z|id as contiguous C-vectors for up to C candidates of
-  every point whose cell hashes to bucket h; empty slots carry +inf so
-  their distances are +inf without any masking. TPU gathers are row-count
-  bound, so probing fetches ONE 4C-wide row per neighbor cell — wide rows
-  instead of per-point 12-byte rows is the difference between ~1 GB/s and
-  near-bandwidth gather throughput, and one quad row beats four separate
-  C-wide plane rows ~4x (profiling/knn_quad_micro.py, which consumes
-  winner ids so the id path can't be dead-coded out of the measurement).
-  Components stay lane-contiguous, so the Pallas ray kernel slices them
-  from static lane ranges — VMEM-local copies, no HBM transpose
-  (profiling/knn_layout_micro.py) — and extracts winner ids in-kernel by
-  masked sum: reconstructing ids outside the kernel with a flat (R*ns*k)
-  gather lowers to per-element row DMA and costs ~5.7 ms/iter at mapping
-  scale (profiling/geo_fwd_split.py). Since only in-radius neighbors ever
-  receive interpolation weight (decoder.py:157) and the dedup/count tests
-  are radius-bounded, radius-limited candidates are semantically
-  sufficient — and this search has *better* recall than the reference's
-  IVF nprobe=4/400.
+* ``grid``  — voxel grid-hash stored as a *dense cell table*: four
+  component PLANES x/y/z/id, each a (TABLE, C) f32 array whose row [h]
+  holds up to C candidates of every point whose cell hashes to bucket h;
+  empty slots carry +inf positions so their distances are +inf without any
+  masking. Queries gather the neighbor-cell blocks per plane — wide rows
+  (C*4 bytes) instead of per-point 12-byte rows, which is the difference
+  between ~1 GB/s and near-bandwidth gather throughput on TPU — and select
+  top-k by exact squared distance. The plane split (vs one packed
+  (TABLE, C, 4) array) feeds the Pallas ray kernel its component-major
+  layout directly, removing two materialized transpose copies
+  (profiling/knn_layout_micro.py). The ray kernel gathers the id plane at
+  probe width alongside the coordinate planes and extracts winner ids
+  in-kernel by masked sum — reconstructing ids outside the kernel with a
+  flat (R*ns*k) gather lowers to per-element row DMA and costs ~5.7 ms/iter
+  at mapping scale (profiling/geo_fwd_split.py). Since only in-radius
+  neighbors ever receive
+  interpolation weight (decoder.py:157) and the dedup/count tests are
+  radius-bounded, radius-limited candidates are semantically sufficient —
+  and this search has *better* recall than the reference's IVF
+  nprobe=4/400.
 * ``brute`` — exact tiled scan with a running top-k merge; used as the test
   oracle and for small clouds.
 
@@ -59,40 +59,22 @@ class GridIndex(NamedTuple):
     slots are all +inf — probes masked out (box overflow, hash-duplicate)
     point there and contribute +inf distances with no special-casing.
 
-    Stored QUAD-PLANAR: one (TABLE+1, 4, C) f32 array whose bucket row holds
-    the four components x|y|z|id as contiguous C-vectors (ids as
-    float-VALUED integers; empty slots / the sentinel row hold +inf). TPU
-    gathers are row-count bound, so probing fetches ONE 4C-wide row per
-    bucket instead of four C-wide plane rows, while each component stays
-    lane-contiguous for the kernels (no strided transpose).
+    Stored as component planes (x, y, z, id), each (TABLE+1, C) f32 with
+    ids as float-VALUED integers; empty slots / the sentinel row hold +inf.
     """
-    quad: jnp.ndarray        # (TABLE+1, 4, C) f32: x|y|z|id per bucket
+    px: jnp.ndarray          # (TABLE+1, C) f32 candidate x
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    pid: jnp.ndarray         # (TABLE+1, C) f32 float-valued point id
     cell_size: jnp.ndarray   # () f32
 
     @property
     def table_size(self) -> int:
-        return self.quad.shape[0] - 1
+        return self.px.shape[0] - 1
 
     @property
     def max_per_cell(self) -> int:
-        return self.quad.shape[2]
-
-    # component views (tests / diagnostics)
-    @property
-    def px(self) -> jnp.ndarray:
-        return self.quad[:, 0, :]
-
-    @property
-    def py(self) -> jnp.ndarray:
-        return self.quad[:, 1, :]
-
-    @property
-    def pz(self) -> jnp.ndarray:
-        return self.quad[:, 2, :]
-
-    @property
-    def pid(self) -> jnp.ndarray:
-        return self.quad[:, 3, :]
+        return self.px.shape[1]
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "max_per_cell"))
@@ -121,24 +103,24 @@ def build_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
     run_start = jax.lax.associative_scan(jnp.maximum,
                                          jnp.where(is_start, ar, 0))
     rank = ar - run_start
+    dst = hs * c + rank
+    dst = jnp.where((rank < c) & (hs < table_size), dst, table_size * c)
 
     pos_sorted = points[order]
     # ids ride as float-VALUED integers (exact for ids < 2^24; capacity is
     # capped at 2^22). Bitcasting int32 bits into f32 is NOT safe here: small
     # ids are denormals and XLA flushes denormals to zero in ops like
     # concatenate.
-    # One scatter per component into the quad-planar flat buffer (component
-    # comp of bucket h lives at h*4c + comp*c); one extra +inf sentinel
-    # bucket at row table_size (see GridIndex).
-    flat = jnp.full(((table_size + 1) * 4 * c,), jnp.inf, jnp.float32)
-    base = hs * (4 * c) + rank
-    base = jnp.where((rank < c) & (hs < table_size), base,
-                     (table_size + 1) * 4 * c)   # park out of range -> drop
-    for comp, vals in enumerate((pos_sorted[:, 0], pos_sorted[:, 1],
-                                 pos_sorted[:, 2], order)):
-        flat = flat.at[base + comp * c].set(vals.astype(jnp.float32),
-                                            mode="drop")
-    return GridIndex(flat.reshape(table_size + 1, 4, c),
+    # One component plane per scatter; one extra +inf sentinel bucket at row
+    # table_size (see GridIndex).
+    def plane(vals):
+        flat = jnp.full(((table_size + 1) * c,), jnp.inf, jnp.float32)
+        flat = flat.at[dst].set(vals.astype(jnp.float32), mode="drop")
+        flat = flat.at[table_size * c:].set(jnp.inf)
+        return flat.reshape(table_size + 1, c)
+
+    return GridIndex(plane(pos_sorted[:, 0]), plane(pos_sorted[:, 1]),
+                     plane(pos_sorted[:, 2]), plane(order),
                      jnp.asarray(cell_size, jnp.float32))
 
 
@@ -177,12 +159,12 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
         jnp.arange(27)[None, :, None] > jnp.arange(27)[None, None, :])
     probe_ok = ~jnp.any(dup, axis=-1)  # (Q, 27)
 
-    blk = index.quad[hs]                                     # (Q,27,4,C)
-    dx = blk[..., 0, :] - q[:, None, None, 0]                # (Q,27,C)
-    dy = blk[..., 1, :] - q[:, None, None, 1]
-    dz = blk[..., 2, :] - q[:, None, None, 2]
-    # stack + sum mirrors the original packed-table reduction exactly
-    # (bit-parity across the layout changes; XLA fuses the stack away)
+    dx = index.px[hs] - q[:, None, None, 0]                  # (Q,27,C)
+    dy = index.py[hs] - q[:, None, None, 1]
+    dz = index.pz[hs] - q[:, None, None, 2]
+    # stack + sum mirrors the packed-table version's reduction exactly
+    # (bit-parity with the pre-plane-split implementation; XLA fuses the
+    # stack away)
     diff = jnp.stack([dx, dy, dz], axis=-1)
     d2 = jnp.sum(diff * diff, axis=-1)                       # (Q,27,C)
     d2 = jnp.where(probe_ok[:, :, None], d2, jnp.inf).reshape(nq, 27 * c)
@@ -190,12 +172,12 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
     neg_top, pos = jax.lax.top_k(-d2, k)
     dists = -neg_top
     # Reconstruct the point id of each winner with a tiny (Q,k) gather from
-    # the quad table's flat view (component 3 of bucket h starts at
-    # h*4c + 3c) instead of materializing + take_along_axis over the full
-    # (Q, 27*C) candidate-id tensor (saves two 27*C-wide HBM passes).
+    # the flat id plane instead of materializing + take_along_axis over the
+    # full (Q, 27*C) int32 candidate-id tensor (saves two 27*C-wide HBM
+    # passes — the id plane is never gathered at query width at all).
     win_h = jnp.take_along_axis(hs, pos // c, axis=1)        # (Q,k)
-    flat_ids = index.quad.reshape(-1)
-    win_ids = flat_ids[win_h * (4 * c) + 3 * c + (pos % c)]  # float-valued
+    flat_ids = index.pid.reshape(-1)
+    win_ids = flat_ids[win_h * c + (pos % c)]                # float-valued ids
     valid = jnp.isfinite(dists)
     idx = jnp.where(valid, win_ids, 0.0).astype(jnp.int32)
     return dists, idx, valid
@@ -310,33 +292,22 @@ def _box_probes(q: jnp.ndarray, cell_size, table_size: int):
     return jnp.where(jnp.any(dup, axis=-1), table_size, hp), compact
 
 
-def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int, c: int):
-    """Min-extraction over packed (quantized-d2 | lane) keys.
-
-    The input block is the quad-planar probe gather (BLK, P*4*C): each
-    probe contributes x|y|z|id as four contiguous C-lane runs, so the
-    kernel assembles component-major (BLK, P*C) arrays from static lane
-    slices — VMEM-local copies, no HBM transpose.
-
-    Winner point ids ARE extracted in-kernel by a masked sum over the id
-    component: the winner's lane mask selects exactly one lane, so
+def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
+    """Min-extraction over packed (quantized-d2 | lane) keys. Winner point
+    ids ARE extracted in-kernel by a masked sum over the gathered id-plane
+    block: the winner's lane mask selects exactly one lane, so
     sum(where(sel, id, 0)) is the id — one VPU reduce per winner, all in
     VMEM. The alternatives are far worse on TPU: an XLA take_along_axis
     epilogue or a flat (R*ns*k) gather from the id plane both lower to
     per-ELEMENT row DMA (~5.7 ms/iter at mapping scale, measured in
     profiling/geo_fwd_split.py — the id reconstruction cost only shows up
     when idx is actually consumed; d-only micros let XLA dead-code it)."""
-    n_probes = pc // c
-
-    def kernel(t_ref, qx_ref, qy_ref, qz_ref, out_p_ref, out_i_ref):
-        T = t_ref[...]                                   # (BLK, P*4*C)
-
-        def comp(c0):
-            return jnp.concatenate(
-                [T[:, p * 4 * c + c0 * c:p * 4 * c + (c0 + 1) * c]
-                 for p in range(n_probes)], axis=1)      # (BLK, P*C)
-
-        X, Y, Z, CI = comp(0), comp(1), comp(2), comp(3)
+    def kernel(x_ref, y_ref, z_ref, ci_ref, qx_ref, qy_ref, qz_ref,
+               out_p_ref, out_i_ref):
+        X = x_ref[...]
+        Y = y_ref[...]
+        Z = z_ref[...]
+        CI = ci_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
         for s in range(ns):
             dx = X - qx_ref[:, s][:, None]
@@ -386,27 +357,30 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
     rp = r + pad
 
     probes, compact = _box_probes(q, index.cell_size, table_size)
-    # ONE quad-planar gather per probe set (TPU gathers are row-count
-    # bound: one 4C-wide row beats four C-wide plane rows ~4x); the kernel
-    # slices components from contiguous lane runs and extracts winner ids
-    # in-kernel (see _ray_topk_kernel).
-    g = index.quad[probes].reshape(rp, _P_RAY * 4 * c)       # (R, P*4*C)
+    # Component-plane gathers feed the kernel its layout directly — no
+    # transpose/copy stage. The id plane is gathered at probe width like
+    # the coordinate planes; winner ids come out of the kernel (see
+    # _ray_topk_kernel for why an XLA id-reconstruction epilogue loses).
+    cx = index.px[probes].reshape(rp, pc)                    # (R, P*C)
+    cy = index.py[probes].reshape(rp, pc)
+    cz = index.pz[probes].reshape(rp, pc)
+    ci = index.pid[probes].reshape(rp, pc)
 
-    bs_t = pl.BlockSpec((_RAY_BLK, _P_RAY * 4 * c), lambda i: (i, 0),
+    bs_c = pl.BlockSpec((_RAY_BLK, pc), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     bs_q = pl.BlockSpec((_RAY_BLK, ns), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     bs_o = pl.BlockSpec((_RAY_BLK, ns * k), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     packed, ids = pl.pallas_call(
-        _ray_topk_kernel(ns, k, pc, lane_mask, c),
+        _ray_topk_kernel(ns, k, pc, lane_mask),
         grid=(rp // _RAY_BLK,),
-        in_specs=[bs_t, bs_q, bs_q, bs_q],
+        in_specs=[bs_c, bs_c, bs_c, bs_c, bs_q, bs_q, bs_q],
         out_specs=[bs_o, bs_o],
         out_shape=[jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
                    jax.ShapeDtypeStruct((rp, ns * k), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
-    )(g, q[..., 0], q[..., 1], q[..., 2])
+    )(cx, cy, cz, ci, q[..., 0], q[..., 1], q[..., 2])
 
     valid = packed < jnp.int32(0x7F800000)                   # quantized +inf
     idx = jnp.where(valid, ids, 0.0).astype(jnp.int32)
