@@ -8,7 +8,17 @@ so the workload is the procedural Synthetic room at Replica resolution
 window 12) — the same per-frame compute mix as the reference's
 configs/Replica/replica.yaml.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Statistical design (round-3, VERDICT #2): the measured region is 30 frames
+split into 3 consecutive 10-frame windows of IDENTICAL composition (8
+tracked + 2 mapped each, every_frame=5); the headline value is the MEDIAN
+window fps, so one stall/compile outlier cannot swing the number. Per-frame
+p50/p90 are reported separately for tracked and mapped frames, plus a
+compile-noise indicator (max frame time / median, per kind). Warmup covers
+every first-occurrence compile shape: track-of-frame-1, track-of-frame-2
+(motion-model path), both map shapes (steady map at frame 5/10), so the
+measured window is compile-free unless a shape-change bug regresses.
 
 vs_baseline: the reference publishes no runtime numbers (SURVEY §6) and
 cannot run here (CUDA/FAISS). The baseline is DERIVED from the reference's
@@ -40,12 +50,30 @@ def _baseline_fields(fps):
         "vs_baseline_conservative": round(fps / BASELINE_FPS_SLOW, 3),
     }
 
-N_FRAMES = 18
-WARMUP_FRAMES = 7   # includes first-frame mapping + first tracked/mapped pair
+
+WARMUP_FRAMES = 11  # frames 1..10: first track, motion-model track, 2 maps
+N_WINDOWS = 3
+WINDOW_FRAMES = 10  # composition per window: 8 tracked + 2 mapped (every=5)
+N_FRAMES = WARMUP_FRAMES + N_WINDOWS * WINDOW_FRAMES  # 41
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _pctl(xs, q):
+    """Nearest-rank percentile of a non-empty list."""
+    s = sorted(xs)
+    return s[min(len(s) - 1, max(0, int(round(q / 100.0 * (len(s) - 1)))))]
+
+
+def _frame_stats(times):
+    if not times:
+        return {}
+    med = _pctl(times, 50)
+    return {"p50_s": round(med, 3), "p90_s": round(_pctl(times, 90), 3),
+            "max_s": round(max(times), 3),
+            "max_over_p50": round(max(times) / max(med, 1e-9), 2)}
 
 
 def main():
@@ -111,6 +139,8 @@ def main():
         "every_frame": 5, "lazy_start": False, "color_refine": False,
     })
     cfg["rendering"]["sample_near_pcl"] = False
+    # capacity sized so neither the cloud nor the hash table grows during the
+    # measured region (growth = recompile; 41 frames x <=21k pts/map << 2^19)
     cfg["tpu"].update({"point_capacity_init": 1 << 19})
     cfg["verbose"] = False
     cfg["data"]["output"] = os.path.join(HERE, "output", "bench")
@@ -126,7 +156,6 @@ def main():
     import jax.numpy as jnp
 
     every = cfg["mapping"]["every_frame"]
-    t_measure_start = None
     color, depth, gt = slam._frame(0)
     slam.estimate_c2w_list[0] = gt
     slam.gt_c2w_list[0] = gt
@@ -147,6 +176,9 @@ def main():
 
     prefetcher = FramePrefetcher(slam.dataset, depth=2, start=1,
                                  stop=N_FRAMES, stage=_stage)
+    t_measure_start = None
+    frame_wall = []           # (idx, wall_s, was_mapped) for measured frames
+    track_times, map_times = [], []
     for frame_idx, color, depth, gt in prefetcher:
         idx = int(frame_idx)
         if idx == WARMUP_FRAMES:
@@ -154,6 +186,7 @@ def main():
             state["t_start"] = t_measure_start
         gt = np.asarray(gt)
         slam.gt_c2w_list[idx] = gt
+        t_frame0 = time.time()
         radius = slam.mapper.radius_maps(color)
         t0 = time.time()
         res = slam.tracker.track_frame(idx, color, depth, gt,
@@ -162,21 +195,37 @@ def main():
         slam.estimate_c2w_list[idx] = res["c2w"]
         t_track = time.time() - t0
         t_map = 0.0
-        if idx % every == 0 or idx == N_FRAMES - 1:
+        mapped = idx % every == 0 or idx == N_FRAMES - 1
+        if mapped:
             t0 = time.time()
-            st = slam.mapper.map_frame(idx, color, depth, gt,
-                                       slam.estimate_c2w_list[idx],
-                                       radius=radius)
+            slam.mapper.map_frame(idx, color, depth, gt,
+                                  slam.estimate_c2w_list[idx],
+                                  radius=radius)
             t_map = time.time() - t0
         log(f"  frame {idx}: track {t_track:.2f}s map {t_map:.2f}s")
         state["t_last"] = time.time()
         if idx >= WARMUP_FRAMES:
             state["n_done"] += 1
+            frame_wall.append((idx, time.time() - t_frame0, mapped))
+            (map_times if mapped else track_times).append(
+                t_map + t_track if mapped else t_track)
 
     elapsed = time.time() - t_measure_start
-    n_measured = N_FRAMES - WARMUP_FRAMES
-    fps = n_measured / elapsed
-    log(f"measured {n_measured} frames in {elapsed:.1f}s -> {fps:.3f} fps")
+    n_measured = len(frame_wall)
+    fps_overall = n_measured / elapsed
+
+    # median-of-windows headline: 3 consecutive windows of identical
+    # composition (8 tracked + 2 mapped each)
+    window_fps = []
+    for wi in range(N_WINDOWS):
+        chunk = frame_wall[wi * WINDOW_FRAMES:(wi + 1) * WINDOW_FRAMES]
+        wall = sum(t for _, t, _ in chunk)
+        if chunk and wall > 0:
+            window_fps.append(len(chunk) / wall)
+    fps = _pctl(window_fps, 50) if window_fps else fps_overall
+    log(f"measured {n_measured} frames in {elapsed:.1f}s -> overall "
+        f"{fps_overall:.3f} fps; windows "
+        f"{[round(f, 3) for f in window_fps]} -> median {fps:.3f} fps")
 
     from point_slam_tpu.tools.eval_ate import evaluate_ate
     ate = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list, align=False)
@@ -184,10 +233,18 @@ def main():
         f"{ate['absolute_translational_error.rmse'] * 100:.2f} cm")
 
     print(json.dumps({
-        "metric": "tracked+mapped frames/sec (Replica-room0-scale workload)",
+        "metric": "tracked+mapped frames/sec (Replica-room0-scale workload; "
+                  "median of 3 x 10-frame windows)",
         "value": round(fps, 4),
         "unit": "frames/sec",
         **_baseline_fields(fps),
+        "fps_overall": round(fps_overall, 4),
+        "fps_windows": [round(f, 4) for f in window_fps],
+        "tracked_frames": _frame_stats(track_times),
+        "mapped_frames": _frame_stats(map_times),
+        "n_measured_frames": n_measured,
+        "ate_rmse_noalign_cm": round(
+            ate["absolute_translational_error.rmse"] * 100, 3),
     }), flush=True)
 
 

@@ -27,10 +27,21 @@ TPU_DEFAULTS: Dict[str, Any] = {
         "ray_knn": "auto",                # ray-shared Pallas kNN in the
                                           # renderer: 'auto' (TPU only) |
                                           # True | False
-        "fused_adam": "auto",             # Pallas fused row-Adam over the
+        "fused_adam": False,              # Pallas fused row-Adam over the
                                           # packed feature buffer (mask +
-                                          # moments + step in ONE HBM sweep):
-                                          # 'auto' (TPU only) | True | False
+                                          # moments + step in ONE HBM sweep).
+                                          # Default OFF: measured SLOWER than
+                                          # the XLA masked-Adam path end-to-end
+                                          # (16.59 vs 15.81 ms/iter at mapping
+                                          # scale, round-2 iter_breakdown rung
+                                          # 9 vs 7); kept as an experiment
+                                          # flag: 'auto' (TPU only)|True|False
+        "knn_probes": 36,                 # per-ray probe-slot budget for the
+                                          # Pallas ray-kNN (compiled kernel
+                                          # shape; 27..48 sensible — see
+                                          # ops/knn.py). Default justified by
+                                          # the round-1 36-vs-48 end-to-end
+                                          # sweep (mapped frame 5.35->4.83 s)
         "grid_max_per_cell": 64,          # candidate cap per hash cell; real
                                           # clouds are dedup-radius-bounded
                                           # (measured p99 occupancy 44, max 76

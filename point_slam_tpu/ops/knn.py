@@ -19,11 +19,17 @@ radius counts). Two strategies:
   in-kernel by masked sum — reconstructing ids outside the kernel with a
   flat (R*ns*k) gather lowers to per-element row DMA and costs ~5.7 ms/iter
   at mapping scale (profiling/geo_fwd_split.py). Since only in-radius
-  neighbors ever receive
-  interpolation weight (decoder.py:157) and the dedup/count tests are
-  radius-bounded, radius-limited candidates are semantically sufficient —
-  and this search has *better* recall than the reference's IVF
-  nprobe=4/400.
+  neighbors ever receive interpolation weight (decoder.py:157) and the
+  dedup/count tests are radius-bounded, radius-limited candidates are
+  semantically sufficient — and this search has *better* recall than the
+  reference's IVF nprobe=4/400.
+
+  Layout history: a quad-planar variant (one (TABLE+1, 4, C) array, one
+  4C-wide row gather per probe instead of four C-wide gathers) was built
+  and MEASURED SLOWER on real TPU — 4.89 vs 4.57 ms/iter mapping-scale
+  kNN at 99.98% winner parity — and reverted (round-2); the four separate
+  C-wide plane gathers are already at gather-hardware rate and the 4C row
+  fetch pays for id-plane bytes on probes that only need coordinates.
 * ``brute`` — exact tiled scan with a running top-k merge; used as the test
   oracle and for small clouds.
 
@@ -104,7 +110,9 @@ def build_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
                                          jnp.where(is_start, ar, 0))
     rank = ar - run_start
     dst = hs * c + rank
-    dst = jnp.where((rank < c) & (hs < table_size), dst, table_size * c)
+    # park overflow/invalid entries OUT of range so mode="drop" drops them
+    # (parking them in the sentinel row would poison its +inf init)
+    dst = jnp.where((rank < c) & (hs < table_size), dst, (table_size + 1) * c)
 
     pos_sorted = points[order]
     # ids ride as float-VALUED integers (exact for ids < 2^24; capacity is
@@ -116,7 +124,6 @@ def build_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
     def plane(vals):
         flat = jnp.full(((table_size + 1) * c,), jnp.inf, jnp.float32)
         flat = flat.at[dst].set(vals.astype(jnp.float32), mode="drop")
-        flat = flat.at[table_size * c:].set(jnp.inf)
         return flat.reshape(table_size + 1, c)
 
     return GridIndex(plane(pos_sorted[:, 0]), plane(pos_sorted[:, 1]),
@@ -216,24 +223,26 @@ _BOX = 4   # probed cells per axis
 # Compacted probe-slot budget per ray. 48 covers every extent pattern except
 # (4,4,4), which drops its 16 outermost corner cells (center-out ordering
 # below). Depth-guided sample spans put ~50% of rays at 27 needed slots and
-# ~98% at <=36 (measured), so 36 is a faster near-lossless setting; exposed
-# as an env knob for dataset-specific tuning rather than config because it
-# changes compiled kernel shapes.
-_P_RAY = int(os.environ.get("POINT_SLAM_KNN_PROBES", "36"))
-if not 1 <= _P_RAY <= _BOX ** 3:
+# ~98% at <=36 (measured), so 36 is a faster near-lossless default. The
+# budget is a compiled kernel shape, so it flows as a STATIC argument from
+# config (tpu.knn_probes -> RenderConfig.knn_probes); the env var remains
+# only as a deprecated default override for older scripts.
+_P_RAY_DEFAULT = int(os.environ.get("POINT_SLAM_KNN_PROBES", "36"))
+if not 1 <= _P_RAY_DEFAULT <= _BOX ** 3:
     import warnings
     warnings.warn(
-        f"POINT_SLAM_KNN_PROBES={_P_RAY} out of range [1, {_BOX ** 3}]; "
-        f"clamping", stacklevel=1)
-    _P_RAY = min(max(_P_RAY, 1), _BOX ** 3)
+        f"POINT_SLAM_KNN_PROBES={_P_RAY_DEFAULT} out of range "
+        f"[1, {_BOX ** 3}]; clamping", stacklevel=1)
+    _P_RAY_DEFAULT = min(max(_P_RAY_DEFAULT, 1), _BOX ** 3)
 _OFF_BOX = jnp.array(
     [[x, y, z] for x in range(_BOX) for y in range(_BOX) for z in range(_BOX)],
     dtype=jnp.int32)                                         # (64, 3)
 _RAY_BLK = 32
 
 
-def _build_probe_perms():
-    """Static per-pattern compaction tables.
+@functools.lru_cache(maxsize=None)
+def _build_probe_perms(p_ray: int):
+    """Static per-pattern compaction tables for a given probe budget.
 
     The validity pattern of the 64 box offsets depends only on the per-axis
     extents in {3, 4} — 8 patterns. For each, a permutation puts the valid
@@ -245,7 +254,7 @@ def _build_probe_perms():
     import numpy as _np
     off = _np.array([[x, y, z] for x in range(_BOX) for y in range(_BOX)
                      for z in range(_BOX)], _np.int64)
-    perms = _np.zeros((8, _P_RAY), _np.int32)
+    perms = _np.zeros((8, p_ray), _np.int32)
     n_valid = _np.zeros(8, _np.int32)
     for pat in range(8):
         ex, ey, ez = (pat >> 2 & 1) + 3, (pat >> 1 & 1) + 3, (pat & 1) + 3
@@ -253,22 +262,23 @@ def _build_probe_perms():
         center = (_np.array([ex, ey, ez]) - 1) / 2.0
         d = _np.abs(off - center).max(1) + 1e-3 * _np.abs(off - center).sum(1)
         order = _np.lexsort((_np.arange(off.shape[0]), d, ~ok))
-        perms[pat] = order[:_P_RAY]
-        n_valid[pat] = min(int(ok.sum()), _P_RAY)
-    slot_ok = _np.arange(_P_RAY)[None, :] < n_valid[:, None]
-    return jnp.asarray(perms), jnp.asarray(slot_ok)
+        perms[pat] = order[:p_ray]
+        n_valid[pat] = min(int(ok.sum()), p_ray)
+    slot_ok = _np.arange(p_ray)[None, :] < n_valid[:, None]
+    # return NUMPY (not jnp): the cache is shared across jit traces, and a
+    # device array materialized inside one trace is a leaked tracer in the
+    # next
+    return perms, slot_ok
 
 
-_PROBE_PERMS, _PROBE_SLOT_OK = _build_probe_perms()
-
-
-def _box_probes(q: jnp.ndarray, cell_size, table_size: int):
+def _box_probes(q: jnp.ndarray, cell_size, table_size: int, p_ray: int):
     """Per-ray probe buckets over the sample bbox +1 margin.
 
-    q: (R, ns, 3). Returns (probes (R, _P_RAY) int32 with
+    q: (R, ns, 3). Returns (probes (R, p_ray) int32 with
     sentinel=table_size for out-of-extent/duplicate buckets,
     compact (R,) bool).
     """
+    perms, slot_ok = _build_probe_perms(p_ray)
     r = q.shape[0]
     qc = jnp.floor(q / cell_size).astype(jnp.int32)          # (R,ns,3)
     cmin = jnp.min(qc, axis=1) - 1
@@ -281,14 +291,14 @@ def _box_probes(q: jnp.ndarray, cell_size, table_size: int):
     pattern = (ext[:, 0] - 3) * 4 + (ext[:, 1] - 3) * 2 + (ext[:, 2] - 3)
     cells = start[:, None, :] + _OFF_BOX[None]               # (R,64,3)
     h = _hash_cells(cells, table_size).astype(jnp.int32)
-    stack = jnp.stack([jnp.where(_PROBE_SLOT_OK[p],
-                                 h[:, _PROBE_PERMS[p]], table_size)
-                       for p in range(8)])                   # (8,R,_P_RAY)
-    flat = stack.reshape(8 * r, _P_RAY)
+    stack = jnp.stack([jnp.where(slot_ok[p],
+                                 h[:, perms[p]], table_size)
+                       for p in range(8)])                   # (8,R,p_ray)
+    flat = stack.reshape(8 * r, p_ray)
     hp = flat[pattern * r + jnp.arange(r, dtype=jnp.int32)]
     dup = (hp[:, :, None] == hp[:, None, :]) & (
-        jnp.arange(_P_RAY)[None, :, None]
-        > jnp.arange(_P_RAY)[None, None, :])
+        jnp.arange(p_ray)[None, :, None]
+        > jnp.arange(p_ray)[None, None, :])
     return jnp.where(jnp.any(dup, axis=-1), table_size, hp), compact
 
 
@@ -326,14 +336,17 @@ def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
+@functools.partial(jax.jit, static_argnames=("k", "probes"))
+def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8,
+                 probes: int = 0):
     """Top-k in-ball neighbors for ray-structured queries.
 
     Args:
         index: GridIndex built by build_grid_index.
         q_rays: (R, ns, 3) sample positions, samples of one ray spatially
             close (depth-guided z-vals).
+        probes: per-ray probe-slot budget (compiled kernel shape); 0 uses
+            the module default (tpu.knn_probes flows here via RenderConfig).
 
     Returns:
         dists: (R*ns, k) squared L2 — QUANTIZED to ~11 mantissa bits (used
@@ -344,11 +357,13 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
             probed box and results may miss neighbors (route through
             grid_knn instead).
     """
+    p_ray = probes or _P_RAY_DEFAULT
+    p_ray = min(max(p_ray, 1), _BOX ** 3)
     r, ns, _ = q_rays.shape
     q = q_rays.astype(jnp.float32)
     table_size = index.table_size
     c = index.max_per_cell
-    pc = _P_RAY * c
+    pc = p_ray * c
     lane_mask = (1 << (pc - 1).bit_length()) - 1
 
     pad = (-r) % _RAY_BLK
@@ -356,15 +371,15 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8):
         q = jnp.concatenate([q, jnp.zeros((pad, ns, 3), jnp.float32)])
     rp = r + pad
 
-    probes, compact = _box_probes(q, index.cell_size, table_size)
+    probe_rows, compact = _box_probes(q, index.cell_size, table_size, p_ray)
     # Component-plane gathers feed the kernel its layout directly — no
     # transpose/copy stage. The id plane is gathered at probe width like
     # the coordinate planes; winner ids come out of the kernel (see
     # _ray_topk_kernel for why an XLA id-reconstruction epilogue loses).
-    cx = index.px[probes].reshape(rp, pc)                    # (R, P*C)
-    cy = index.py[probes].reshape(rp, pc)
-    cz = index.pz[probes].reshape(rp, pc)
-    ci = index.pid[probes].reshape(rp, pc)
+    cx = index.px[probe_rows].reshape(rp, pc)                # (R, P*C)
+    cy = index.py[probe_rows].reshape(rp, pc)
+    cz = index.pz[probe_rows].reshape(rp, pc)
+    ci = index.pid[probe_rows].reshape(rp, pc)
 
     bs_c = pl.BlockSpec((_RAY_BLK, pc), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

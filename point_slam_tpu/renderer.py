@@ -46,6 +46,9 @@ class RenderConfig(NamedTuple):
     # "auto" resolves to True on TPU, False on CPU (interpret-mode Pallas
     # is only for tests).
     ray_knn: bool = False
+    # per-ray probe-slot budget for ray_grid_knn (tpu.knn_probes); a
+    # compiled kernel shape, so it lives in the static config
+    knn_probes: int = 36
 
 
 def _resolve_ray_knn(cfg: Dict[str, Any]) -> bool:
@@ -58,6 +61,8 @@ def _resolve_ray_knn(cfg: Dict[str, Any]) -> bool:
 def make_render_config(cfg: Dict[str, Any], sigmoid_coef: float) -> RenderConfig:
     return RenderConfig(
         ray_knn=_resolve_ray_knn(cfg),
+        knn_probes=int(cfg.get("tpu", {}).get("knn_probes", 0))
+        or knn._P_RAY_DEFAULT,
         n_surface=cfg["rendering"]["N_surface"],
         near_end=cfg["rendering"]["near_end"],
         near_end_surface=cfg["rendering"]["near_end_surface"],
@@ -134,7 +139,8 @@ def render_rays(params: Dict[str, Any], packed, n_points,
 
     if rc.ray_knn:
         _, idx, valid, compact = knn.ray_grid_knn(
-            index, jax.lax.stop_gradient(pts), k=rc.nn_num)
+            index, jax.lax.stop_gradient(pts), k=rc.nn_num,
+            probes=rc.knn_probes)
         # Rays whose samples spread beyond the probed box (uniform sampling
         # of depth-free rays; long-depth rays whose 0.98d-1.02d span exceeds
         # the 4-cell box) would keep truncated neighbor sets; route those

@@ -64,6 +64,13 @@ class PointSLAM:
         rng = np.random.default_rng(cfg["setup_seed"])
         params = D.init_decoders(jax.random.key(cfg["setup_seed"]), cfg)
         pretrained = cfg.get("pretrained_decoders", {}).get("middle_fine", "")
+        if pretrained and not os.path.isabs(pretrained) and \
+                not os.path.exists(pretrained):
+            # resolve config-relative artifact paths against the repo root so
+            # `pretrained/middle_fine.npz` works regardless of CWD
+            root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            if os.path.exists(os.path.join(root, pretrained)):
+                pretrained = os.path.join(root, pretrained)
         params = D.load_pretrained_geo(params, pretrained)
         if cfg["mapping"].get("fix_geo_decoder") and not (
                 pretrained and os.path.exists(pretrained)):

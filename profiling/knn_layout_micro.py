@@ -19,7 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from point_slam_tpu.ops import knn
-from point_slam_tpu.ops.knn import (_RAY_BLK, _P_RAY, _box_probes,
+from point_slam_tpu.ops.knn import (_RAY_BLK, _P_RAY_DEFAULT as _P_RAY, _box_probes,
                                     _ray_topk_kernel)
 
 T = 1 << 16
@@ -92,7 +92,7 @@ def run_kernel_planes(cand, qj, specs_c):
 
 def variant_a(key, a):
     qj = jitter(key, q)
-    probes, compact = _box_probes(qj, index.cell_size, T)
+    probes, compact = _box_probes(qj, index.cell_size, T, _P_RAY)
     blocks = a[0][probes]                                  # (R,P,C,4)
     cand = jnp.transpose(blocks, (0, 3, 1, 2)).reshape(R, 4 * pc_)
     bs_c = pl.BlockSpec((_RAY_BLK, 4 * pc_), lambda i: (i, 0),
@@ -126,7 +126,7 @@ def _kernel4(ns, k, pcw, lm):
 
 def variant_b(key, a):
     qj = jitter(key, q)
-    probes, compact = _box_probes(qj, index.cell_size, T)
+    probes, compact = _box_probes(qj, index.cell_size, T, _P_RAY)
     blocks = a[0][:, probes]                               # (4,R,P,C)
     cand = blocks.reshape(4, R, pc_)
     bs_c = pl.BlockSpec((4, _RAY_BLK, pc_), lambda i: (0, i, 0),
@@ -171,7 +171,7 @@ def _kernel_sep(ns, k, pcw, lm):
 
 def variant_c(key, a):
     qj = jitter(key, q)
-    probes, compact = _box_probes(qj, index.cell_size, T)
+    probes, compact = _box_probes(qj, index.cell_size, T, _P_RAY)
     px, py, pz, pid = (t[probes].reshape(R, pc_) for t in a)
     bs_c = pl.BlockSpec((_RAY_BLK, pc_), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)

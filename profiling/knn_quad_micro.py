@@ -1,7 +1,9 @@
 """Layout experiment: 4 component planes (current) vs ONE quad-planar
 table (TABLE+1, 4, C) whose row holds x|y|z|id as four contiguous
 C-vectors. TPU gathers are row-count bound, so one 1 KB-row gather per
-probe should beat four 256 B-row gathers (~4x fewer rows); the kernel
+probe was PREDICTED to beat four 256 B-row gathers (~4x fewer rows), but
+MEASURED SLOWER on real TPU (4.89 vs 4.57 ms/iter, 99.98% winner parity)
+and the quad layout was reverted — see ops/knn.py docstring; the kernel
 slices components from contiguous lane ranges (no strided transpose).
 
 Both variants CONSUME winner ids (the d-only micros dead-coded the id
@@ -18,7 +20,7 @@ from jax.experimental.pallas import tpu as pltpu
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from point_slam_tpu.ops import knn
-from point_slam_tpu.ops.knn import (_box_probes, _RAY_BLK, _P_RAY,
+from point_slam_tpu.ops.knn import (_box_probes, _RAY_BLK, _P_RAY_DEFAULT as _P_RAY,
                                     build_grid_index)
 
 TABLE = 1 << int(os.environ.get("QM_TABLE_LOG2", "16"))
@@ -85,7 +87,7 @@ def quad_kernel(ns, k):
 @jax.jit
 def ray_knn_quad(quad, q_rays):
     r, ns, _ = q_rays.shape
-    probes, compact = _box_probes(q_rays, index.cell_size, TABLE)
+    probes, compact = _box_probes(q_rays, index.cell_size, TABLE, _P_RAY)
     g = quad[probes].reshape(r, _P_RAY * 4 * C)       # ONE gather
     bs_t = pl.BlockSpec((_RAY_BLK, _P_RAY * 4 * C), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -141,7 +143,7 @@ jax.block_until_ready((px, py, pz, pid))
 @jax.jit
 def ray_knn_planes(px, py, pz, pid, q_rays):
     r, ns, _ = q_rays.shape
-    probes, compact = _box_probes(q_rays, index.cell_size, TABLE)
+    probes, compact = _box_probes(q_rays, index.cell_size, TABLE, _P_RAY)
     cx = px[probes].reshape(r, pc)
     cy = py[probes].reshape(r, pc)
     cz = pz[probes].reshape(r, pc)

@@ -39,6 +39,7 @@ step() {  # step <name> <timeout_s> <cmd...>
   timeout "$tmo" "$@" > "/tmp/tpuq/$name.log" 2>&1
   local rc=$?
   log "END $name rc=$rc"
+  return $rc
 }
 
 cd /root/repo
@@ -47,8 +48,14 @@ step iter_breakdown 1200 python profiling/iter_breakdown.py
 step bench 2700 python bench.py
 step pretrain 1800 python -m point_slam_tpu.tools.pretrain_geo \
   --out output/pretrain/middle_fine.npz --scenes 3 --frames 30
-step geo_ab 4200 env PRETRAIN_NPZ=/root/repo/output/pretrain/middle_fine.npz \
-  python profiling/geo_decoder_ab.py 100 20
+# geo_ab's pretrained arm needs the pretrain artifact; don't burn its
+# budget on a configuration that can't produce the intended A/B
+if [ -f output/pretrain/middle_fine.npz ]; then
+  step geo_ab 4200 env PRETRAIN_NPZ=/root/repo/output/pretrain/middle_fine.npz \
+    python profiling/geo_decoder_ab.py 100 20
+else
+  log "SKIP geo_ab: pretrain artifact missing"
+fi
 log "queue done; starting soak runner"
 bash profiling/soak_runner.sh >> /tmp/tpuq/soak_outer.log 2>&1
 log "soak runner finished rc=$?"
