@@ -36,6 +36,14 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # scale, round-2 iter_breakdown rung
                                           # 9 vs 7); kept as an experiment
                                           # flag: 'auto' (TPU only)|True|False
+        "bf16_features": False,           # render from a bf16 view of the
+                                          # packed buffer (hi+lo bf16
+                                          # positions, f32 Adam master);
+                                          # halves gather/scatter bytes in
+                                          # the hot loops. False until the
+                                          # end-to-end TPU measurement says
+                                          # it wins: 'auto' (TPU only) |
+                                          # True | False
         "knn_probes": 36,                 # per-ray probe-slot budget for the
                                           # Pallas ray-kNN (compiled kernel
                                           # shape; 27..48 sensible — see

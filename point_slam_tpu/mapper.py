@@ -59,6 +59,9 @@ class MapperStatic(NamedTuple):
     dp: int = 1           # data-parallel devices (rays shard over 'dp')
     ba: bool = False      # bundle adjustment: optimize window cameras
     fused_adam: bool = False  # Pallas fused row-Adam for the packed leaf
+    bf16_features: bool = False  # render from a bf16 view of the packed
+                                 # buffer (pc.encode_render); Adam master
+                                 # and moments stay f32
 
 
 class KeyframeRing(NamedTuple):
@@ -386,7 +389,12 @@ def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
 
     def loss_fn(diff, rays, it_key, stage_color):
         p = build_params(diff)
-        return _losses(ms, rc, p, diff["packed"],
+        # bf16 render view: halves the bytes of the neighbor row gather and
+        # the backward scatter-add; the f32 master (and Adam moments) are
+        # untouched — grads arrive f32 through encode_render's backward
+        pk = (pc.encode_render(diff["packed"]) if ms.bf16_features
+              else diff["packed"])
+        return _losses(ms, rc, p, pk,
                        diff["exposure"], n_points, index, rays,
                        window_poses(diff), it_key, stage_color)
 
@@ -545,8 +553,13 @@ class Mapper:
             # interpret-mode Pallas on CPU is for tests only; the fused
             # kernel pays off on real hardware
             fused = jax.default_backend() not in ("cpu",)
+        bf16 = cfg["tpu"].get("bf16_features", False)
+        if bf16 == "auto":
+            # CPU keeps the all-f32 path (determinism golden; metric parity)
+            bf16 = jax.default_backend() not in ("cpu",)
         self.ms = MapperStatic(
             fused_adam=bool(fused),
+            bf16_features=bool(bf16),
             h=h, w=w, fx=cam["fx"], fy=cam["fy"], cx=cam["cx"], cy=cam["cy"],
             r_max=r_max, f_max=f_max, dp=dp,
             w_color_loss=mp["w_color_loss"], frustum_edge=mp["frustum_edge"],

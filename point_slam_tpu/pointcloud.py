@@ -63,6 +63,68 @@ class CloudState(NamedTuple):
         return self.packed[:, COL_SL]
 
 
+# ------------------------------------------------ bf16 render view (tpu.bf16_features)
+#
+# The per-iteration HBM traffic over the packed buffer (neighbor row gather,
+# backward scatter-add, gradient sweeps) is bandwidth-bound at mapping scale.
+# ``encode_render`` produces a HALF-WIDTH (CAP, 72) bf16 view of the f32
+# master for the render path: feature columns cast to bf16 (gradients flow,
+# so the backward scatter-add also runs at bf16 width), positions stored as
+# a hi+lo bf16 pair per component (~1.5e-5 relative error — 0.1 mm at room
+# scale — vs 2e-3 for naked bf16, which would corrupt kNN-radius tests).
+# Adam and its moments stay f32 on the master buffer; CPU runs keep the
+# all-f32 path (flag resolves off-CPU only) so the determinism golden is
+# unchanged.
+#
+# The hi half is derived by BIT TRUNCATION (shift/mask), not
+# ``astype(bfloat16)``: XLA's algebraic simplifier folds the convert chain
+# ``bf16(pos - f32(bf16(pos)))`` into ``bf16(pos) - bf16(pos) = 0``,
+# silently zeroing the lo lane (measured: lo == 0 under jit with the
+# arithmetic formulation). Bit ops block the folding, and truncation keeps
+# f32(hi) exactly representable so lo = pos - f32(hi) is exact before its
+# own bf16 rounding.
+POS_HI_SL = slice(2 * C_DIM, 2 * C_DIM + 3)
+POS_LO_SL = slice(2 * C_DIM + 3, 2 * C_DIM + 6)
+
+
+def encode_render(packed: jnp.ndarray) -> jnp.ndarray:
+    """(CAP, 72) f32 master -> (CAP, 72) bf16 render view.
+
+    Differentiable in the feature columns (d/d(bf16 view) scatter-adds ride
+    at half width and arrive as f32 grads on the master); position lanes are
+    stop_gradient (positions never receive gradients — pointcloud.py:341).
+    """
+    n = packed.shape[0]
+    feats = packed[:, GEO_SL.start:COL_SL.stop].astype(jnp.bfloat16)
+    pos = jax.lax.stop_gradient(packed[:, POS_SL])
+    bits = jax.lax.bitcast_convert_type(pos, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        (bits >> 16).astype(jnp.uint16), jnp.bfloat16)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = (pos - hi_f32).astype(jnp.bfloat16)
+    pad = jnp.zeros((n, PACK_W - POS_LO_SL.stop), jnp.bfloat16)
+    return jnp.concatenate([feats, hi, lo, pad], axis=1)
+
+
+def neighbor_geo(nb: jnp.ndarray) -> jnp.ndarray:
+    """Geometry-feature columns of gathered rows, as f32 (either layout)."""
+    return nb[..., GEO_SL].astype(jnp.float32)
+
+
+def neighbor_col(nb: jnp.ndarray) -> jnp.ndarray:
+    """Color-feature columns of gathered rows, as f32 (either layout)."""
+    return nb[..., COL_SL].astype(jnp.float32)
+
+
+def neighbor_pos(nb: jnp.ndarray) -> jnp.ndarray:
+    """Positions of gathered rows, as f32 (decodes the hi+lo bf16 pair)."""
+    if nb.dtype == jnp.bfloat16:
+        return (nb[..., POS_HI_SL].astype(jnp.float32)
+                + nb[..., POS_LO_SL].astype(jnp.float32))
+    return nb[..., POS_SL]
+
+
 def _empty_rows(n: int) -> jnp.ndarray:
     row = jnp.zeros((PACK_W,), jnp.float32).at[POS_SL].set(1e6)
     return jnp.tile(row, (n, 1))

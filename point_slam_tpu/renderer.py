@@ -163,7 +163,7 @@ def render_rays(params: Dict[str, Any], packed, n_points,
             jnp.any(~compact), _fallback, lambda _: (idx, valid),
             operand=None)
         nb = packed[idx]                                     # (N,K,PACK_W)
-        neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
+        neigh_pos = jax.lax.stop_gradient(pc.neighbor_pos(nb))
         # exact distances from winner coordinates (ray_grid_knn's are
         # selection-quantized); identical float ops to grid_knn's d2
         p_q = p if is_tracker else jax.lax.stop_gradient(p)
@@ -173,7 +173,7 @@ def render_rays(params: Dict[str, Any], packed, n_points,
         dists, idx, valid = knn.grid_knn(index, jax.lax.stop_gradient(p),
                                          k=rc.nn_num)
         nb = packed[idx]                                     # (N,K,PACK_W)
-        neigh_pos = jax.lax.stop_gradient(nb[..., pc.POS_SL])
+        neigh_pos = jax.lax.stop_gradient(pc.neighbor_pos(nb))
         if is_tracker:
             diff = neigh_pos - p[:, None, :]
             dists = jnp.sum(diff * diff, axis=-1)
@@ -183,7 +183,7 @@ def render_rays(params: Dict[str, Any], packed, n_points,
     w = D.interpolation_weights(dists, valid, r_query_pts, rc.weighting)
 
     kg, kc = jax.random.split(key)
-    c_geo = jnp.sum(w[..., None] * nb[..., pc.GEO_SL], axis=1)
+    c_geo = jnp.sum(w[..., None] * pc.neighbor_geo(nb), axis=1)
     c_geo = D.random_fill_features(kg, c_geo, has_neighbors, c_dim)
     occ = D.geo_decoder_apply(params["geo"], p, c_geo)
 
@@ -191,7 +191,7 @@ def render_rays(params: Dict[str, Any], packed, n_points,
     valid_ray = valid_ray & near_pcl_ok
 
     if stage_color:
-        neigh_feats = nb[..., pc.COL_SL]                     # (N,K,c)
+        neigh_feats = pc.neighbor_col(nb)                    # (N,K,c)
         if rc.encode_rel_pos_in_col:
             neigh_feats = D.encode_neighbor_feats(params["col"], neigh_pos, p,
                                                   neigh_feats)

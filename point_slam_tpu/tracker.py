@@ -52,6 +52,9 @@ class TrackerStatic(NamedTuple):
     grad_top: int
     max_iters: int
     dp: int = 1           # data-parallel devices (rays shard over 'dp')
+    bf16_features: bool = False  # render from a bf16 view of the packed
+                                 # buffer (encoded ONCE per frame — the map
+                                 # is constant during pose optimization)
 
 
 @functools.partial(jax.jit, static_argnames=("ts", "rc"))
@@ -67,6 +70,11 @@ def track_optimize(ts: TrackerStatic, rc: R.RenderConfig,
     the loop at vis_inside_freq boundaries and fires the visualizer between
     launches, the analog of src/Tracker.py:367-371); iteration semantics are
     identical to one monolithic loop."""
+    if ts.bf16_features:
+        # one half-width render view per frame; loop-invariant, so every
+        # iteration's neighbor gather rides at bf16 bytes
+        from point_slam_tpu import pointcloud as pc
+        packed = pc.encode_render(packed)
 
     def loss_fn(cam, it_key):
         c2w = camera.pose_matrix_from_tensor(cam)
@@ -182,8 +190,11 @@ class Tracker:
         self.n_img = n_img
         dp = int(cfg["tpu"].get("data_parallel", 1) or 1)
         pix = -(-tr["pixels"] // dp) * dp  # pad rays to the dp axis
+        bf16 = cfg["tpu"].get("bf16_features", False)
+        if bf16 == "auto":
+            bf16 = jax.default_backend() not in ("cpu",)
         self.ts = TrackerStatic(
-            dp=dp,
+            dp=dp, bf16_features=bool(bf16),
             h=cam["H"], w=cam["W"], fx=cam["fx"], fy=cam["fy"],
             cx=cam["cx"], cy=cam["cy"], pixels=pix,
             ignore_edge_w=tr["ignore_edge_W"], ignore_edge_h=tr["ignore_edge_H"],

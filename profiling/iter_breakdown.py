@@ -240,6 +240,33 @@ def s_full_fused(k, b):
     return mix(k, acc)
 
 
+# rung 10: FULL-BUFFER step with the bf16 render view (tpu.bf16_features):
+# loss renders from pc.encode_render(packed) — gather + backward scatter-add
+# at half bytes; frustum mask + XLA adam stay f32 on the master
+def grad_col_bf16(d, b, rays, kk):
+    def loss_fn(d):
+        p = {"col": d["col"], "geo": b["params"]["geo"]}
+        return _losses(ms, rc, p, pc.encode_render(d["packed"]),
+                       b["w_exp"], b["cloud"].n_points,
+                       b["index"], rays, b["w_c2w"], kk,
+                       stage_color=True)[0]
+    return jax.grad(loss_fn)(d)
+
+
+def s_full_bf16(k, b):
+    rays = _sample_window_rays(ms, k, b["window"], n_frames, ppi)
+    g = grad_col_bf16(b["diff0"], b, rays, k)
+    g["packed"] = g["packed"] * b["frustum"][:, None]
+    acc = 0.0
+    for name in ("col", "packed"):
+        p, st = adam.update(b["diff0"][name], g[name],
+                            {"m": b["opt0"]["m"][name],
+                             "v": b["opt0"]["v"][name]},
+                            jnp.asarray(1.0), jnp.asarray(0.01))
+        acc = acc + jax.tree_util.tree_leaves(p)[0].ravel()[0]
+    return mix(k, acc)
+
+
 t1 = chain("1 sample rays        ", s_sample)
 t2 = chain("2 + kNN              ", s_knn)
 t3 = chain("3 + geo fwd loss     ", s_geo_fwd)
@@ -249,8 +276,10 @@ t6 = chain("6 col grad           ", s_col_grad)
 t7 = chain("7 full-buffer step   ", s_full)
 t8 = chain("8 compacted-row step ", s_full_rows)
 t9 = chain("9 fused-adam step    ", s_full_fused)
+t10 = chain("10 bf16-view step    ", s_full_bf16)
 print(f"\nkNN cost: {(t2-t1)*1e3:.1f} ms | geo-MLP fwd: {(t3-t2)*1e3:.1f} | "
       f"col extras fwd: {(t4-t3)*1e3:.1f} | geo bwd: {(t5-t3)*1e3:.1f} | "
       f"col bwd: {(t6-t4)*1e3:.1f} | adam: {(t7-t6)*1e3:.1f} | "
       f"compaction saves: {(t7-t8)*1e3:.1f} ms/iter | "
-      f"fused-adam saves: {(t7-t9)*1e3:.1f} ms/iter")
+      f"fused-adam saves: {(t7-t9)*1e3:.1f} ms/iter | "
+      f"bf16-view saves: {(t7-t10)*1e3:.1f} ms/iter")
