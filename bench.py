@@ -168,14 +168,20 @@ def main():
     state["t_last"] = time.time()
     from point_slam_tpu.utils.prefetch import FramePrefetcher
 
-    def _stage(item):
-        # device upload in the worker thread, like the production loop
-        i, color, depth, c2w = item
-        return (i, jax.device_put(jnp.asarray(color)),
-                jax.device_put(jnp.asarray(depth)), c2w)
+    from point_slam_tpu.common import image as image_ops
+    inv_scale = jnp.asarray(slam.dataset.depth_inv_scale)
 
-    prefetcher = FramePrefetcher(slam.dataset, depth=2, start=1,
-                                 stop=N_FRAMES, stage=_stage)
+    def _stage(item):
+        # wire-width upload + on-device decode in the worker thread, like
+        # the production loop (slam.py)
+        i, packed, c2w = item
+        color, depth = image_ops.decode_wire_frame(
+            jax.device_put(packed), inv_scale)
+        return (i, color, depth, c2w)
+
+    prefetcher = FramePrefetcher(
+        slam.dataset, depth=int(cfg["tpu"].get("prefetch_depth", 4)),
+        start=1, stop=N_FRAMES, stage=_stage, fetch=slam.dataset.wire)
     t_measure_start = None
     frame_wall = []           # (idx, wall_s, was_mapped) for measured frames
     track_times, map_times = [], []

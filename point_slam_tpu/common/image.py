@@ -21,6 +21,37 @@ def rgb2gray(img: jnp.ndarray) -> jnp.ndarray:
     return img.astype(jnp.float32) @ _GRAY_W
 
 
+@jax.jit
+def decode_wire_frame(packed: jnp.ndarray, depth_inv_scale: jnp.ndarray):
+    """Device-side decode of a dataset wire frame (datasets.wire): one
+    (H,W,5) u8 array -> (color f32 [0,1], depth f32 meters), bit-identical
+    to the host dequantization in datasets.dequantize_wire (same f32
+    multiplies). Lets the host->device transfer ride at sensor width in ONE
+    put (4.1 MB vs 13.1 MB f32 + two link round-trips at 680x1200 — the
+    remote-device link is ~50 MB/s with ~40 ms/put RTT)."""
+    color = packed[..., :3].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    du16 = jax.lax.bitcast_convert_type(packed[..., 3:5], jnp.uint16)
+    depth = du16.astype(jnp.float32) * depth_inv_scale.astype(jnp.float32)
+    return color, depth
+
+
+@jax.jit
+def encode_wire_frame(color: jnp.ndarray, depth: jnp.ndarray,
+                      depth_scale: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of decode_wire_frame: f32 color/depth ->
+    (H,W,5) u8. Exact round-trip for values already on the sensor lattice
+    (color == k/255, depth == k/scale — which is every frame the SLAM loop
+    sees, since datasets quantize at the source). Used by the keyframe
+    store to hold keyframes at wire width (4x less HBM / host RAM, and 4x
+    fewer bytes on every host-ring window upload)."""
+    cu8 = jnp.clip(jnp.rint(color * jnp.float32(255.0)), 0, 255) \
+        .astype(jnp.uint8)
+    du16 = jnp.clip(jnp.rint(depth * depth_scale.astype(jnp.float32)),
+                    0, 65535).astype(jnp.uint16)
+    return jnp.concatenate(
+        [cu8, jax.lax.bitcast_convert_type(du16, jnp.uint8)], axis=-1)
+
+
 def _conv2_reflect(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """2D correlation with edge-duplicating reflect padding (scipy.ndimage
     'reflect' == numpy 'symmetric'), the skimage sobel boundary mode."""

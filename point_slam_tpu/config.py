@@ -59,10 +59,17 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # buckets * cap * 16B; 64k*64 = 67MB)
         "dtype": "float32",
         "data_parallel": 1,               # number of devices to shard ray batches over
+        "prefetch_depth": 4,              # frames staged ahead by the
+                                          # prefetch worker; 4 hides the
+                                          # per-frame upload of a full
+                                          # tracking-only stretch under one
+                                          # mapped frame
         "max_iters_per_launch": 200,      # chunk long optimization loops so a
                                           # single device program stays under
                                           # the runtime watchdog
-        "keyframe_device_budget": 400,    # max keyframes held on device
+        "keyframe_device_budget": 1024,   # max keyframes held on device
+                                          # (wire-encoded: ~4.1 MB each at
+                                          # Replica scale -> 4.2 GB HBM)
         "keyframe_host_ring": "auto",     # keep keyframe images host-side,
                                           # uploading only the selected window
                                           # per mapped frame: True | False |

@@ -7,6 +7,15 @@ flips applied by every loader (datasets.py:146-148,181-184,266-269).
 
 All readers return numpy; the SLAM loop owns device transfer (double-buffered
 prefetch lives in utils/prefetch.py).
+
+Wire format: every frame is canonically SENSOR-QUANTIZED — u8 color and u16
+depth at ``png_depth_scale`` — exactly the precision the reference pipeline
+ever sees (its loaders decode u8 PNG/JPG color and u16 PNG depth,
+src/utils/datasets.py:120-134). ``wire(i)`` returns those compact arrays for
+host->device transfer (4.1 MB vs 13.1 MB f32 at Replica scale — the
+remote-device link runs at ~10 MB/s, so this is ~1 s/frame); ``__getitem__``
+returns their f32 dequantization, so the host and device paths see
+bit-identical values (both dequantize as ``q * inv_scale`` in f32).
 """
 
 from __future__ import annotations
@@ -21,6 +30,16 @@ try:
     import cv2
 except ImportError:  # pragma: no cover
     cv2 = None
+
+
+def dequantize_wire(packed: np.ndarray, inv_scale: np.float32):
+    """Host decode of a wire frame: (H,W,5) u8 -> (color f32 [0,1],
+    depth f32 meters). Channels 0..2 are u8 color; channels 3..4 are the
+    little-endian bytes of u16 depth. Mirrored on device by
+    common.image.decode_wire_frame (same f32 multiplies -> bit-identical)."""
+    color = packed[..., :3].astype(np.float32) * np.float32(1.0 / 255.0)
+    du16 = np.ascontiguousarray(packed[..., 3:5]).view(np.uint16)[..., 0]
+    return color, du16.astype(np.float32) * inv_scale
 
 
 def as_intrinsics_matrix(fx, fy, cx, cy):
@@ -67,7 +86,8 @@ class BaseDataset:
         d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         return d.astype(np.float32) / self.png_depth_scale
 
-    def __getitem__(self, index: int):
+    def _frame_arrays(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Preprocessed (color f32, depth f32) before wire quantization."""
         color = self._read_color(self.color_paths[index])
         depth = self._read_depth(self.depth_paths[index])
         h, w = depth.shape
@@ -82,8 +102,36 @@ class BaseDataset:
         if e > 0:
             color = color[e:-e, e:-e]
             depth = depth[e:-e, e:-e]
-        return (index, color.astype(np.float32), depth.astype(np.float32),
-                self.poses[index].astype(np.float32))
+        return color.astype(np.float32), depth.astype(np.float32)
+
+    @property
+    def depth_inv_scale(self) -> np.float32:
+        return np.float32(1.0 / float(self.png_depth_scale))
+
+    def wire(self, index: int):
+        """Compact transfer form: (index, (H,W,5) u8, c2w f32) — u8 color
+        in channels 0..2 and u16 depth (at png_depth_scale) as two
+        little-endian bytes in channels 3..4, so one frame is ONE
+        host->device transfer (each put pays a ~40 ms link round-trip).
+
+        For readers without host-side resampling this is a lossless
+        round-trip of the on-disk sensor data; with resampling/undistortion
+        (or the synthetic scene's analytic frames) it re-quantizes to the
+        same u8/u16 lattice the sensors use. ``__getitem__`` dequantizes
+        THIS, so the host and device paths agree bit-exactly."""
+        color, depth = self._frame_arrays(index)
+        cu8 = np.clip(np.rint(color * np.float32(255.0)), 0, 255) \
+            .astype(np.uint8)
+        du16 = np.clip(np.rint(depth * np.float32(self.png_depth_scale)),
+                       0, 65535).astype(np.uint16)
+        packed = np.concatenate([cu8, du16[..., None].view(np.uint8)],
+                                axis=-1)
+        return index, packed, self.poses[index].astype(np.float32)
+
+    def __getitem__(self, index: int):
+        _, packed, pose = self.wire(index)
+        color, depth = dequantize_wire(packed, self.depth_inv_scale)
+        return index, color, depth, pose
 
 
 class Replica(BaseDataset):
@@ -418,7 +466,7 @@ class Synthetic(BaseDataset):
         f = np.concatenate(faces).astype(np.int32)
         return v, f
 
-    def __getitem__(self, index):
+    def _frame_arrays(self, index):
         if index not in self._cache:
             c2w = self.poses[index]
             h, w = self.H, self.W
@@ -455,7 +503,7 @@ class Synthetic(BaseDataset):
         e = self.crop_edge
         if e > 0:
             color, depth = color[e:-e, e:-e], depth[e:-e, e:-e]
-        return index, color, depth, self.poses[index].astype(np.float32)
+        return color, depth
 
 
 dataset_dict = {

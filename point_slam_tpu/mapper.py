@@ -64,44 +64,53 @@ class MapperStatic(NamedTuple):
                                  # and moments stay f32
 
 
-class KeyframeRing(NamedTuple):
-    """Device-resident keyframe *images* (poses/exposures live host-side in
-    KeyframeStore — BA pose refinements have a single source of truth)."""
-    color: jnp.ndarray     # (K, H, W, 3)
-    depth: jnp.ndarray     # (K, H, W)
-    r_query: jnp.ndarray   # (K, H, W)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def ring_set(ring: jnp.ndarray, slot, wire: jnp.ndarray) -> jnp.ndarray:
+    """Write one wire-encoded keyframe into the (K,H,W,5) u8 device ring."""
+    return ring.at[slot].set(wire)
 
 
-def init_ring(k: int, h: int, w: int) -> KeyframeRing:
-    return KeyframeRing(
-        color=jnp.zeros((k, h, w, 3), jnp.float32),
-        depth=jnp.zeros((k, h, w), jnp.float32),
-        r_query=jnp.full((k, h, w), 1e6, jnp.float32),
-    )
+@functools.partial(jax.jit,
+                   static_argnames=("dyn", "r_add_max", "r_add_min",
+                                    "ratio", "thr", "rq_fixed"))
+def decode_window(wire: jnp.ndarray, valid: jnp.ndarray, inv_scale,
+                  dyn: bool, r_add_max: float, r_add_min: float,
+                  ratio: float, thr: float, rq_fixed: float):
+    """(F,H,W,5) u8 wire window -> (color f32, depth f32, r_query f32).
 
-
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=())
-def ring_set(ring: KeyframeRing, slot, color, depth, r_query) -> KeyframeRing:
-    return KeyframeRing(
-        color=ring.color.at[slot].set(color),
-        depth=ring.depth.at[slot].set(depth),
-        r_query=ring.r_query.at[slot].set(r_query),
-    )
+    r_query is RECOMPUTED from the decoded color (it is a pure function of
+    color — image.dynamic_radius_maps — so storing it would spend 3.3 MB/
+    keyframe of HBM and 44% more host-ring upload bytes to cache a
+    sub-millisecond batched Sobel). Padding slots (``valid`` False) get the
+    1e6 sentinel the old f32 ring initialized with."""
+    color, depth = jax.vmap(
+        lambda p: image.decode_wire_frame(p, inv_scale))(wire)
+    if dyn:
+        rq = jax.vmap(lambda c: image.dynamic_radius_maps(
+            c, r_add_max, r_add_min, ratio, thr)[1])(color)
+    else:
+        rq = jnp.full(depth.shape, rq_fixed, jnp.float32)
+    rq = jnp.where(valid[:, None, None], rq, 1e6)
+    return color, depth, rq
 
 
 class KeyframeStore:
-    """Keyframe database. Poses/exposures (small) are host numpy; images go
-    to one of two backends:
+    """Keyframe database. Poses/exposures (small) are host numpy; images are
+    held WIRE-ENCODED ((H,W,5) u8 — see datasets.wire; 4.1 MB/keyframe at
+    Replica scale vs 16.4 MB for the f32 color+depth+r_query triple it
+    replaces; r_query is recomputed from color at gather time) in one of
+    two backends:
 
-    * device ring (default for short sequences): all keyframe images live in
-      HBM, the window is a device gather — zero per-frame upload.
+    * device ring (default): all keyframes live in HBM; the window is a
+      device gather + one batched decode — zero per-frame upload. At wire
+      width the default budget (1024 slots, 4.2 GB) covers ScanNet-length
+      sequences outright.
     * host ring (``tpu.keyframe_host_ring``: true, or 'auto' when the
       expected keyframe count exceeds ``tpu.keyframe_device_budget``):
-      images stay in host memory and only the selected window
+      wire frames stay in host memory and only the selected window
       (<= 2*mapping_window_size+2 slots) is uploaded per mapped frame.
-      This lifts the device-budget cap for ScanNet-length sequences — the
-      reference likewise keeps keyframe images on CPU
-      (src/Mapper.py:741-751).
+      This lifts the device-budget cap entirely — the reference likewise
+      keeps keyframe images on CPU (src/Mapper.py:741-751).
 
     Appending past a full device ring raises instead of silently dropping
     the keyframe.
@@ -119,22 +128,33 @@ class KeyframeStore:
         self.est_c2w = []      # list of (4,4) f32 — BA writes back here
         self.gt_c2w = []
         self.exposure = []
-        self.frames = []       # host mode: list of dict(color, depth, r_query)
+        self.frames = []       # host mode: list of (H,W,5) u8 wire arrays
+        # wire codec statics (decode_window / encode_wire_frame)
+        self.depth_scale = jnp.asarray(
+            np.float32(cfg["cam"]["png_depth_scale"]))
+        self.inv_scale = jnp.asarray(
+            np.float32(1.0 / float(cfg["cam"]["png_depth_scale"])))
+        pcfg = cfg["pointcloud"]
+        self.dyn = bool(cfg["use_dynamic_radius"])
+        self.rq_statics = dict(
+            dyn=self.dyn,
+            r_add_max=pcfg["radius_add_max"], r_add_min=pcfg["radius_add_min"],
+            ratio=pcfg["radius_query_ratio"], thr=pcfg["color_grad_threshold"],
+            rq_fixed=pcfg["radius_query"])
         if not self.host_mode:
             self.capacity = max(min(budget, expected), 4)
-            self.ring = init_ring(self.capacity, h, w)
+            self.ring = jnp.zeros((self.capacity, h, w, 5), jnp.uint8)
 
     def __len__(self):
         return len(self.est_c2w)
 
-    def append(self, color_dev, depth_dev, r_query_dev, est_c2w, gt_c2w,
+    def append(self, color_dev, depth_dev, est_c2w, gt_c2w,
                exposure) -> None:
         slot = len(self.est_c2w)
+        wire = image.encode_wire_frame(color_dev, depth_dev, self.depth_scale)
         if self.host_mode:
-            self.frames.append(dict(
-                color=np.asarray(color_dev, np.float32),
-                depth=np.asarray(depth_dev, np.float32),
-                r_query=np.asarray(r_query_dev, np.float32)))
+            # 4.1 MB fetch instead of 16.4 MB of f32 arrays
+            self.frames.append(np.asarray(wire, np.uint8))
         else:
             if slot >= self.capacity:
                 raise RuntimeError(
@@ -143,8 +163,7 @@ class KeyframeStore:
                     f"(tpu.keyframe_device_budget). Set "
                     f"tpu.keyframe_host_ring: true (or leave it 'auto') to "
                     f"keep keyframe images in host memory.")
-            self.ring = ring_set(self.ring, jnp.asarray(slot), color_dev,
-                                 depth_dev, r_query_dev)
+            self.ring = ring_set(self.ring, jnp.asarray(slot), wire)
         self.est_c2w.append(np.asarray(est_c2w, np.float32))
         self.gt_c2w.append(np.asarray(gt_c2w, np.float32))
         self.exposure.append(np.asarray(exposure, np.float32))
@@ -176,21 +195,18 @@ class KeyframeStore:
         frame at position len(sel); rays from further slots are masked by
         n_frames)."""
         if self.host_mode:
-            col = np.zeros((f_max, self.h, self.w, 3), np.float32)
-            dep = np.zeros((f_max, self.h, self.w), np.float32)
-            rq = np.full((f_max, self.h, self.w), 1e6, np.float32)
+            wire_np = np.zeros((f_max, self.h, self.w, 5), np.uint8)
             for k, s in enumerate(sel):
-                fr = self.frames[s]
-                col[k], dep[k], rq[k] = fr["color"], fr["depth"], fr["r_query"]
-            w_color = jnp.asarray(col)
-            w_depth = jnp.asarray(dep)
-            w_rq = jnp.asarray(rq)
+                wire_np[k] = self.frames[s]
+            w_wire = jnp.asarray(wire_np)
         else:
             slots = jnp.asarray((list(sel) + [0] * (f_max - len(sel)))[:f_max],
                                 jnp.int32)
-            w_color = self.ring.color[slots]
-            w_depth = self.ring.depth[slots]
-            w_rq = self.ring.r_query[slots]
+            w_wire = self.ring[slots]
+        valid = np.zeros((f_max,), bool)
+        valid[:len(sel)] = True
+        w_color, w_depth, w_rq = decode_window(
+            w_wire, jnp.asarray(valid), self.inv_scale, **self.rq_statics)
         c2w = np.tile(np.eye(4, dtype=np.float32), (f_max, 1, 1))
         exp = np.zeros((f_max, self.exposure_dim), np.float32)
         for k, s in enumerate(sel):
@@ -902,7 +918,7 @@ class Mapper:
         if ((idx % mp["keyframe_every"] == 0 or idx == self.n_img - 2)
                 and idx not in self.keyframe_list
                 and np.isfinite(gt_c2w).all()):
-            self.store.append(color_dev, depth_dev, r_query, cur_c2w,
+            self.store.append(color_dev, depth_dev, cur_c2w,
                               gt_c2w, self.exposure_feat)
             self.keyframe_list.append(idx)
 

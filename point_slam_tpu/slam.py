@@ -187,17 +187,24 @@ class PointSLAM:
                       f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}")
 
         from point_slam_tpu.utils.prefetch import FramePrefetcher
+        from point_slam_tpu.common import image as image_ops
+
+        inv_scale = jnp.asarray(self.dataset.depth_inv_scale)
 
         def _stage(item):
-            # upload in the WORKER thread so the ~13 MB RGB-D transfer
-            # overlaps device compute; tracker/mapper jnp.asarray calls are
-            # then no-ops
-            i, color, depth, c2w = item
-            return (i, jax.device_put(jnp.asarray(color)),
-                    jax.device_put(jnp.asarray(depth)), c2w)
+            # upload in the WORKER thread so the transfer overlaps device
+            # compute, and at WIRE width (one (H,W,5) u8 put: 4.1 MB vs
+            # 13.1 MB f32 + two puts at Replica scale); decode_wire_frame
+            # dequantizes on device to the exact f32 values dataset[i]
+            # returns on host
+            i, packed, c2w = item
+            color, depth = image_ops.decode_wire_frame(
+                jax.device_put(packed), inv_scale)
+            return (i, color, depth, c2w)
 
-        prefetcher = FramePrefetcher(self.dataset, depth=2, start=start,
-                                     stop=n, stage=_stage)
+        prefetcher = FramePrefetcher(
+            self.dataset, depth=int(cfg["tpu"].get("prefetch_depth", 4)),
+            start=start, stop=n, stage=_stage, fetch=self.dataset.wire)
         for frame_idx, color, depth, gt_c2w in prefetcher:
             idx = int(frame_idx)
             self.gt_c2w_list[idx] = gt_c2w

@@ -161,13 +161,11 @@ def restore_slam(slam, ckpt: Dict[str, np.ndarray]) -> int:
     kf_expos = ckpt.get("keyframe_exposure")
     for slot, kf_idx in enumerate(m.keyframe_list):
         _, color, depth, _ = slam.dataset[kf_idx]
-        color = jnp.asarray(color)
-        _, r_query, _, _ = m.radius_maps(color)
         pose = (kf_poses[slot] if kf_poses is not None and slot < len(kf_poses)
                 else slam.estimate_c2w_list[kf_idx])
         expo = (kf_expos[slot] if kf_expos is not None and slot < len(kf_expos)
                 else m.exposure_feat)
-        m.store.append(color, jnp.asarray(depth), r_query, pose,
+        m.store.append(jnp.asarray(color), jnp.asarray(depth), pose,
                        slam.gt_c2w_list[kf_idx], expo)
 
     # continue the PRNG streams

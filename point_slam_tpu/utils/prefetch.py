@@ -15,13 +15,18 @@ from typing import Iterator, Optional, Tuple
 class FramePrefetcher:
     def __init__(self, dataset, depth: int = 2,
                  start: int = 0, stop: Optional[int] = None,
-                 stage=None):
+                 stage=None, fetch=None):
         """``stage``: optional callable applied to each item IN THE WORKER
         THREAD — used to jax.device_put the frame so the host->device
         transfer (a ~13 MB RGB-D pair at Replica scale, worse over a
         tunnel) overlaps device compute instead of landing on the critical
-        path of the next frame."""
+        path of the next frame.
+
+        ``fetch``: optional callable ``index -> item`` replacing
+        ``dataset[index]`` — used to fetch the compact wire form
+        (dataset.wire) so the staged transfer rides at sensor width."""
         self.dataset = dataset
+        self._fetch = fetch if fetch is not None else dataset.__getitem__
         self.stop_idx = len(dataset) if stop is None else min(stop, len(dataset))
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stage = stage
@@ -35,7 +40,7 @@ class FramePrefetcher:
             if self._stopped.is_set():
                 return
             try:
-                item = self.dataset[i]
+                item = self._fetch(i)
                 if self._stage is not None:
                     item = self._stage(item)
             except Exception as e:  # propagate through the queue

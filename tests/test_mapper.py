@@ -166,7 +166,7 @@ def test_keyframe_store_overflow_raises():
     cfg["tpu"]["keyframe_device_budget"] = 4
     st = KeyframeStore(cfg, 8, 8, 1000, 8, keyframe_every=1)
     assert not st.host_mode and st.capacity == 4
-    img = jnp.zeros((8, 8, 3)), jnp.zeros((8, 8)), jnp.full((8, 8), 1e6)
+    img = jnp.zeros((8, 8, 3)), jnp.zeros((8, 8))
     eye = np.eye(4, dtype=np.float32)
     for _ in range(4):
         st.append(*img, eye, eye, np.zeros(8, np.float32))
@@ -186,15 +186,18 @@ def test_keyframe_store_auto_host_mode():
     for i in range(9):   # > device budget; must not raise or drop
         col = rng.uniform(size=(8, 8, 3)).astype(np.float32)
         st.append(jnp.asarray(col), jnp.full((8, 8), 1.0 * i),
-                  jnp.full((8, 8), 0.1), np.eye(4), np.eye(4),
-                  np.zeros(8, np.float32))
+                  np.eye(4), np.eye(4), np.zeros(8, np.float32))
     assert len(st) == 9
     w_color, w_depth, _, _, _ = st.gather_window([8, 0, 5], 6)
-    assert np.allclose(np.asarray(w_depth[0]), 8.0)
-    assert np.allclose(np.asarray(w_depth[1]), 0.0)
-    assert np.allclose(np.asarray(w_depth[2]), 5.0)
-    np.testing.assert_array_equal(np.asarray(w_color[2]),
-                                  st.frames[5]["color"])
+    # depth survives the u16 wire encoding to within half a quantum
+    q = 0.5 / float(st.depth_scale)
+    assert np.allclose(np.asarray(w_depth[0]), 8.0, atol=q)
+    assert np.allclose(np.asarray(w_depth[1]), 0.0, atol=q)
+    assert np.allclose(np.asarray(w_depth[2]), 5.0, atol=q)
+    # the window color is the decode of the stored wire frame
+    from point_slam_tpu.datasets import dequantize_wire
+    c_ref, _ = dequantize_wire(st.frames[5], np.float32(st.inv_scale))
+    np.testing.assert_array_equal(np.asarray(w_color[2]), c_ref)
 
 
 def test_host_ring_matches_device_ring():
