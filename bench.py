@@ -172,12 +172,12 @@ def main():
     inv_scale = jnp.asarray(slam.dataset.depth_inv_scale)
 
     def _stage(item):
-        # wire-width upload + on-device decode in the worker thread, like
-        # the production loop (slam.py)
+        # wire-width upload + on-device decode + radius-map dispatch in the
+        # worker thread, like the production loop (slam.py)
         i, packed, c2w = item
         color, depth = image_ops.decode_wire_frame(
             jax.device_put(packed), inv_scale)
-        return (i, color, depth, c2w)
+        return (i, color, depth, slam.mapper.radius_maps(color), c2w)
 
     prefetcher = FramePrefetcher(
         slam.dataset, depth=int(cfg["tpu"].get("prefetch_depth", 4)),

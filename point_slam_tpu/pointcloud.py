@@ -237,6 +237,20 @@ def build_index(state: CloudState, cell_size, table_size: int = 1 << 16,
                                 table_size, max_per_cell)
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def insert_index(state: CloudState, index: knn.GridIndex,
+                 n_old, m: int) -> knn.GridIndex:
+    """Fold rows [n_old, n_points) — at most ``m`` of them (the static
+    densify batch bound) — into the cell table. Bit-identical to a full
+    build_index over the grown cloud (points only ever append; see
+    knn.insert_grid_index)."""
+    start = jnp.asarray(n_old, jnp.int32)
+    rows = jax.lax.dynamic_slice(state.pos, (start, jnp.int32(0)), (m, 3))
+    ids = start + jnp.arange(m, dtype=jnp.int32)
+    valid = ids < state.n_points
+    return knn.insert_grid_index(index, rows, ids, valid)
+
+
 @functools.partial(jax.jit, static_argnames=("num", "intervals"))
 def sample_near_pcl(index: knn.GridIndex,
                     rays_o: jnp.ndarray, rays_d: jnp.ndarray,

@@ -196,23 +196,25 @@ class PointSLAM:
             # compute, and at WIRE width (one (H,W,5) u8 put: 4.1 MB vs
             # 13.1 MB f32 + two puts at Replica scale); decode_wire_frame
             # dequantizes on device to the exact f32 values dataset[i]
-            # returns on host
+            # returns on host. The per-frame dynamic radius maps are ALSO
+            # dispatched here: they depend only on color, and launching
+            # them from the worker keeps their ~40 ms link round-trip off
+            # the tracked-frame critical path.
             i, packed, c2w = item
             color, depth = image_ops.decode_wire_frame(
                 jax.device_put(packed), inv_scale)
-            return (i, color, depth, c2w)
+            return (i, color, depth, self.mapper.radius_maps(color), c2w)
 
         prefetcher = FramePrefetcher(
             self.dataset, depth=int(cfg["tpu"].get("prefetch_depth", 4)),
             start=start, stop=n, stage=_stage, fetch=self.dataset.wire)
-        for frame_idx, color, depth, gt_c2w in prefetcher:
+        for frame_idx, color, depth, radius, gt_c2w in prefetcher:
             idx = int(frame_idx)
             self.gt_c2w_list[idx] = gt_c2w
             ef = 1 if (lazy and idx <= lazy) else every
 
-            # dynamic radius maps computed ONCE per frame, shared by
-            # tracker, mapper and visualizer
-            radius = self.mapper.radius_maps(color)
+            # dynamic radius maps: computed ONCE per frame (in the prefetch
+            # worker), shared by tracker, mapper and visualizer
             r_add, r_query = radius[0], radius[1]
 
             if self.track_vis.vis_inside:

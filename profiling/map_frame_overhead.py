@@ -69,7 +69,11 @@ N = 10
 
 
 def force(out):
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    # slice ON DEVICE before the host fetch: np.asarray(leaf) would pull the
+    # whole array through the ~50 MB/s tunnel (a 117 MB decoded window =
+    # +2.3 s/rep of pure transfer that production never pays)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
 
 
 def bench(name, fn, *args):
@@ -110,7 +114,7 @@ bench("frustum_mask (CAP pts)      ", pc.frustum_mask, mapper.cloud.pos,
 
 # keyframe window machinery at window_size 12 with a populated store
 for i in range(12):
-    mapper.store.append(cd, dd, r_query, np.asarray(c2w), np.asarray(c2w),
+    mapper.store.append(cd, dd, np.asarray(c2w), np.asarray(c2w),
                         mapper.exposure_feat)
     mapper.keyframe_list.append(i * 5)
 
@@ -120,10 +124,17 @@ def select_and_gather():
     return mapper.store.gather_window(sel, ms.f_max)
 
 
+force(select_and_gather())   # compile
 t0 = time.time()
 for _ in range(N):
     out = select_and_gather()
     force(out)
 print(f"select+gather_window (12kf) : "
       f"{(time.time()-t0)/N*1e3:8.1f} ms", flush=True)
+
+# incremental insert (replaces the per-densify rebuild): worst-case batch
+m_ins = ms.add_max * ms.n_add
+bench("insert_index (54k batch)    ", pc.insert_index, mapper.cloud,
+      mapper.index, mapper.cloud.n_points - jnp.asarray(100, jnp.int32),
+      m_ins)
 print("done")

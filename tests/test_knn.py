@@ -231,3 +231,52 @@ def test_ray_grid_knn_empty_cloud():
     rd, ri, rv, _ = knn.ray_grid_knn(index, jnp.asarray(q), k=8)
     assert not np.any(np.asarray(rv))
     assert np.all(np.isinf(np.asarray(rd)))
+
+
+def test_insert_grid_index_matches_rebuild():
+    """Incremental append (knn.insert_grid_index) must produce a table
+    BIT-IDENTICAL to build_grid_index over the union — including bucket
+    overflow drops and counts — for any sequence of batch sizes. This is
+    what lets the mapper skip the CAP-wide argsort on every densify."""
+    cap = 4096
+    pts, rng = make_cloud(cap, cap, seed=3, scale=0.6)  # dense -> overflows
+    cell = jnp.asarray(0.3)
+    splits = [0, 700, 701, 1800, 1800, 2500, 4096]  # incl. an empty batch
+    c = 8  # small cap to force overflow parity
+
+    idx = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(splits[1]),
+                               cell, table_size=256, max_per_cell=c)
+    for lo, hi in zip(splits[1:-1], splits[2:]):
+        m = 1700  # static batch bound >= every (hi - lo) here
+        rows = np.full((m, 3), 1e6, np.float32)
+        rows[:hi - lo] = pts[lo:hi]
+        ids = lo + np.arange(m, dtype=np.int32)
+        valid = np.arange(m) < (hi - lo)
+        idx = knn.insert_grid_index(idx, jnp.asarray(rows),
+                                    jnp.asarray(ids), jnp.asarray(valid))
+        ref = knn.build_grid_index(jnp.asarray(pts), jnp.asarray(hi),
+                                   cell, table_size=256, max_per_cell=c)
+        for name in ("px", "py", "pz", "pid", "counts"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(idx, name)),
+                np.asarray(getattr(ref, name)), err_msg=f"{name} @ {hi}")
+
+
+def test_insert_index_cloudstate_wrapper():
+    """pointcloud.insert_index slices the grown rows out of the padded
+    buffer and matches a rebuild."""
+    import point_slam_tpu.pointcloud as pc
+
+    cap, n0, n1 = 1024, 300, 450
+    pts, rng = make_cloud(n1, cap, seed=11)
+    cloud = pc.init_cloud(cap, 32, 3)
+    packed = cloud.packed.at[:, pc.POS_SL].set(jnp.asarray(pts))
+    cloud0 = cloud._replace(packed=packed, n_points=jnp.asarray(n0, jnp.int32))
+    cloud1 = cloud._replace(packed=packed, n_points=jnp.asarray(n1, jnp.int32))
+
+    idx = pc.build_index(cloud0, 0.15, table_size=512, max_per_cell=16)
+    idx = pc.insert_index(cloud1, idx, jnp.asarray(n0, jnp.int32), m=256)
+    ref = pc.build_index(cloud1, 0.15, table_size=512, max_per_cell=16)
+    for name in ("px", "py", "pz", "pid", "counts"):
+        np.testing.assert_array_equal(np.asarray(getattr(idx, name)),
+                                      np.asarray(getattr(ref, name)))
