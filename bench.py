@@ -185,7 +185,7 @@ def main():
     t_measure_start = None
     frame_wall = []           # (idx, wall_s, was_mapped) for measured frames
     track_times, map_times = [], []
-    for frame_idx, color, depth, gt in prefetcher:
+    for frame_idx, color, depth, radius, gt in prefetcher:
         idx = int(frame_idx)
         if idx == WARMUP_FRAMES:
             t_measure_start = time.time()
@@ -193,7 +193,6 @@ def main():
         gt = np.asarray(gt)
         slam.gt_c2w_list[idx] = gt
         t_frame0 = time.time()
-        radius = slam.mapper.radius_maps(color)
         t0 = time.time()
         res = slam.tracker.track_frame(idx, color, depth, gt,
                                        slam.estimate_c2w_list, slam.mapper,
