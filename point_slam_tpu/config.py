@@ -50,6 +50,20 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # ops/knn.py). Default justified by
                                           # the round-1 36-vs-48 end-to-end
                                           # sweep (mapped frame 5.35->4.83 s)
+        "knn_packed_coords": "auto",      # store cell-table coordinates as
+                                          # ONE 3x10-bit lattice-packed i32
+                                          # plane (quantum cell_size/64)
+                                          # instead of three f32 planes:
+                                          # halves kNN probe-gather rows AND
+                                          # bytes. Selection-only precision
+                                          # (renderer recomputes exact dists
+                                          # from winners); see ops/knn.py.
+                                          # 'auto' (TPU only)|True|False.
+                                          # Measured end-to-end on TPU v5e
+                                          # (profiling/knn_packed_ab.py):
+                                          # mapping full step 14.97 -> 13.96
+                                          # ms/iter, kNN rung 4.07 -> 3.45.
+                                          # CPU keeps f32 planes (golden)
         "grid_max_per_cell": 64,          # candidate cap per hash cell; real
                                           # clouds are dedup-radius-bounded
                                           # (measured p99 occupancy 44, max 76

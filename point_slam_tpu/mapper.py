@@ -600,8 +600,14 @@ class Mapper:
                           max(pcfg["radius_query"], pcfg["radius_add"]))
         self.table_size = cfg["tpu"]["grid_table_size"]
         self.max_per_cell = cfg["tpu"]["grid_max_per_cell"]
+        packed = cfg["tpu"].get("knn_packed_coords", False)
+        if packed == "auto":
+            # CPU keeps the f32 planes (determinism golden; metric parity)
+            packed = jax.default_backend() not in ("cpu",)
+        self.packed_coords = bool(packed)
         self.index = pc.build_index(self.cloud, self.cell_size,
-                                    self.table_size, self.max_per_cell)
+                                    self.table_size, self.max_per_cell,
+                                    self.packed_coords)
 
         self.store = KeyframeStore(cfg, h, w, n_img,
                                    cfg["model"]["exposure_dim"],
@@ -646,7 +652,8 @@ class Mapper:
             while self.table_size < cap // 8:
                 self.table_size *= 2
             self.index = pc.build_index(self.cloud, self.cell_size,
-                                        self.table_size, self.max_per_cell)
+                                        self.table_size, self.max_per_cell,
+                                        self.packed_coords)
 
     def radius_maps(self, color_dev):
         pcfg = self.cfg["pointcloud"]

@@ -58,6 +58,33 @@ def _hash_cells(cells: jnp.ndarray, table_size: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(h, jnp.uint32).astype(jnp.uint32) % jnp.uint32(table_size)
 
 
+def _slot_plan(h: jnp.ndarray, table_size: int, c: int,
+               base_counts: jnp.ndarray | None = None):
+    """Bucket-slot scatter plan shared by the f32-plane and packed builders.
+
+    Returns (order, dst): ``order`` sorts entries by bucket (stable, so
+    append order is preserved within a bucket) and ``dst`` is the flat
+    plane slot for each sorted entry — bucket*c + rank, with rank offset by
+    ``base_counts`` when appending to an existing table. Overflow (rank >=
+    c) and invalid entries (h == table_size) park OUT of range so the
+    scatter's mode="drop" drops them (parking them in the sentinel row
+    would poison its init).
+    """
+    n = h.shape[0]
+    order = jnp.argsort(h, stable=True).astype(jnp.int32)
+    hs = h[order]
+    ar = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum,
+                                         jnp.where(is_start, ar, 0))
+    rank = ar - run_start
+    if base_counts is not None:
+        rank = rank + base_counts[hs]
+    dst = hs * c + rank
+    dst = jnp.where((rank < c) & (hs < table_size), dst, (table_size + 1) * c)
+    return order, dst
+
+
 class GridIndex(NamedTuple):
     """Dense cell-table point index. Shapes are static in (table_size, C).
 
@@ -104,19 +131,7 @@ def build_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
     cells = jnp.floor(points / cell_size).astype(jnp.int32)
     h = _hash_cells(cells, table_size).astype(jnp.int32)
     h = jnp.where(valid, h, table_size)
-    order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    hs = h[order]
-
-    # slot within the bucket = position inside the sorted run
-    ar = jnp.arange(cap, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(is_start, ar, 0))
-    rank = ar - run_start
-    dst = hs * c + rank
-    # park overflow/invalid entries OUT of range so mode="drop" drops them
-    # (parking them in the sentinel row would poison its +inf init)
-    dst = jnp.where((rank < c) & (hs < table_size), dst, (table_size + 1) * c)
+    order, dst = _slot_plan(h, table_size, c)
 
     pos_sorted = points[order]
     # ids ride as float-VALUED integers (exact for ids < 2^24; capacity is
@@ -154,22 +169,14 @@ def insert_grid_index(index: GridIndex, points: jnp.ndarray,
     — ~60 ms saved per mapped frame (two densifies), and the gap grows with
     capacity (the rebuild is O(CAP log CAP); this is O(batch)).
     """
+    if isinstance(index, PackedGridIndex):
+        return _insert_packed_grid_index(index, points, ids, valid)
     table_size = index.table_size
     c = index.max_per_cell
-    m = points.shape[0]
     cells = jnp.floor(points / index.cell_size).astype(jnp.int32)
     h = _hash_cells(cells, table_size).astype(jnp.int32)
     h = jnp.where(valid, h, table_size)
-    order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    hs = h[order]
-
-    ar = jnp.arange(m, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), hs[1:] != hs[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum,
-                                         jnp.where(is_start, ar, 0))
-    rank = ar - run_start + index.counts[hs]
-    dst = hs * c + rank
-    dst = jnp.where((rank < c) & (hs < table_size), dst, (table_size + 1) * c)
+    order, dst = _slot_plan(h, table_size, c, base_counts=index.counts)
 
     pos_sorted = points[order]
     ids_sorted = ids[order]
@@ -186,6 +193,159 @@ def insert_grid_index(index: GridIndex, points: jnp.ndarray,
                      upd(index.pz, pos_sorted[:, 2]),
                      upd(index.pid, ids_sorted),
                      index.cell_size, counts)
+
+
+# ------------------------------------------------------------------
+# Packed-coordinate cell table (tpu.knn_packed_coords).
+#
+# The probe gathers above move 16 bytes per candidate slot (three f32
+# coordinate planes + the f32 id plane); at mapping scale that is the
+# single largest HBM stream of the optimization step (~180 MB/iter at
+# 5000 rays x 36 probes x C=64). Since the renderer recomputes EXACT
+# distances from the winners' true coordinates (renderer.py:167-171) and
+# out-of-radius winners get interpolation weight exactly 0
+# (decoders.interpolation_weights), the table coordinates only steer
+# SELECTION — they can be aggressively quantized without injecting wrong
+# values anywhere.
+#
+# Encoding: each coordinate is snapped to an infinite lattice of
+# quantum g = cell_size / 64 and stored modulo 1024 (10 bits), so one
+# cell spans 64 quanta and the wraparound period is 16 cells. x|y|z pack
+# into ONE i32 plane (bits 0-9|10-19|20-29, sign bit 0; empty slots are
+# -1). A probe gathers TWO rows (8 bytes/slot) instead of four (16):
+# half the gather bytes AND half the gather rows of the f32 planes.
+#
+#   * precision: candidates round by <= g/2 per axis (~0.7 mm at an 8 cm
+#     cell); selection among top-8 is unchanged except on sub-mm ties.
+#     In-kernel d2 is EXACT integer arithmetic in quanta^2 (<= 3*512^2 <
+#     2^24, exact in f32).
+#   * wraparound: true in-box candidates lie within ~6 cells = 384 quanta
+#     of the query, well inside the +-512-quanta unambiguous window. A
+#     hash-COLLISION candidate from a cell >16 cells away can wrap-alias
+#     into apparent proximity. Measured on a collision-heavy synthetic
+#     (cloud span > wrap period, test_knn.py): an alias lands inside the
+#     query radius on a few % of samples there; at production cell/radius
+#     ratios the rate is ~0.5% of samples. The consequence is bounded: a
+#     falsely selected far winner gets exact-distance weight 0 and exact
+#     neighbor_count 0 in the renderer (which recomputes distances from
+#     true coordinates), so the worst case is one DISPLACED candidate
+#     slot — the same failure class as the bucket-overflow drops the
+#     table already tolerates. Densify-dedup and sample_near_pcl consume
+#     the returned (lattice) distances directly, so there an alias can
+#     suppress one candidate point / mark one coarse sample near — both
+#     are sampling heuristics with IVF-grade recall in the reference.
+#   * counts-consuming callers (densify dedup, sample_near_pcl) receive
+#     d2 * g^2 — exact lattice distances of rounded coordinates, i.e.
+#     within ~1.7*g of the true distance; their radius thresholds are
+#     cm-scale heuristics (the reference tolerates IVF nprobe=4 recall
+#     there, src/neural_point.py:169-215).
+# ------------------------------------------------------------------
+
+_QBITS = 10
+_QMASK = (1 << _QBITS) - 1            # 1023
+_QPERIOD = float(1 << _QBITS)         # 1024.0
+_Q_PER_CELL = 64.0                    # lattice quanta per grid cell
+
+
+class PackedGridIndex(NamedTuple):
+    """Cell-table index with 3x10-bit lattice-packed coordinates.
+
+    Same bucket structure as GridIndex (one sentinel row at table_size);
+    ``pxyz`` holds x|y<<10|z<<20 on the cell_size/64 lattice modulo 1024,
+    with -1 marking empty slots; ``pid`` is the f32-valued id plane,
+    +inf where empty (it doubles as the validity signal for the Pallas
+    kernel's masked-sum id extraction, same as GridIndex).
+    """
+    pxyz: jnp.ndarray        # (TABLE+1, C) i32 packed lattice coords, -1 empty
+    pid: jnp.ndarray         # (TABLE+1, C) f32 float-valued point id
+    cell_size: jnp.ndarray   # () f32
+    counts: jnp.ndarray      # (TABLE+1,) i32 TRUE per-bucket point count
+
+    @property
+    def table_size(self) -> int:
+        return self.pxyz.shape[0] - 1
+
+    @property
+    def max_per_cell(self) -> int:
+        return self.pxyz.shape[1]
+
+
+def _pack_lattice(points: jnp.ndarray, cell_size) -> jnp.ndarray:
+    """(.., 3) f32 -> (..,) i32 packed 10-bit lattice coords (mod 1024)."""
+    g = jnp.asarray(cell_size, jnp.float32) / _Q_PER_CELL
+    q = jnp.floor(points / g + 0.5).astype(jnp.int32) & _QMASK
+    return q[..., 0] | (q[..., 1] << _QBITS) | (q[..., 2] << (2 * _QBITS))
+
+
+def _query_lattice(q: jnp.ndarray, cell_size) -> jnp.ndarray:
+    """(.., 3) f32 -> continuous lattice coords reduced mod 1024."""
+    g = jnp.asarray(cell_size, jnp.float32) / _Q_PER_CELL
+    ql = q / g
+    return ql - jnp.floor(ql / _QPERIOD) * _QPERIOD
+
+
+def _unpack_lattice(v: jnp.ndarray):
+    """i32 packed -> (x, y, z) f32 lattice coords; empty (-1) -> +inf."""
+    inf = jnp.float32(jnp.inf)
+    x = jnp.where(v < 0, inf, (v & _QMASK).astype(jnp.float32))
+    y = jnp.where(v < 0, inf, ((v >> _QBITS) & _QMASK).astype(jnp.float32))
+    z = jnp.where(v < 0, inf,
+                  ((v >> (2 * _QBITS)) & _QMASK).astype(jnp.float32))
+    return x, y, z
+
+
+def _wrap_diff(df: jnp.ndarray) -> jnp.ndarray:
+    """Shortest signed difference on the 1024-periodic lattice (f32)."""
+    df = jnp.where(df > _QPERIOD / 2, df - _QPERIOD, df)
+    return jnp.where(df < -_QPERIOD / 2, df + _QPERIOD, df)
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "max_per_cell"))
+def build_packed_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
+                            cell_size: jnp.ndarray, table_size: int = 1 << 16,
+                            max_per_cell: int = 96) -> PackedGridIndex:
+    """build_grid_index with lattice-packed coordinate storage."""
+    cap = points.shape[0]
+    c = max_per_cell
+    valid = jnp.arange(cap) < n_points
+    cells = jnp.floor(points / cell_size).astype(jnp.int32)
+    h = _hash_cells(cells, table_size).astype(jnp.int32)
+    h = jnp.where(valid, h, table_size)
+    order, dst = _slot_plan(h, table_size, c)
+
+    flat_xyz = jnp.full(((table_size + 1) * c,), -1, jnp.int32)
+    flat_xyz = flat_xyz.at[dst].set(_pack_lattice(points, cell_size)[order],
+                                    mode="drop")
+    flat_id = jnp.full(((table_size + 1) * c,), jnp.inf, jnp.float32)
+    flat_id = flat_id.at[dst].set(order.astype(jnp.float32), mode="drop")
+    counts = jnp.zeros((table_size + 1,), jnp.int32).at[
+        jnp.where(valid, h, table_size + 1)].add(1, mode="drop")
+    return PackedGridIndex(flat_xyz.reshape(table_size + 1, c),
+                           flat_id.reshape(table_size + 1, c),
+                           jnp.asarray(cell_size, jnp.float32), counts)
+
+
+@jax.jit
+def _insert_packed_grid_index(index: PackedGridIndex, points: jnp.ndarray,
+                              ids: jnp.ndarray,
+                              valid: jnp.ndarray) -> PackedGridIndex:
+    """insert_grid_index for the packed layout (same append contract)."""
+    table_size = index.table_size
+    c = index.max_per_cell
+    cells = jnp.floor(points / index.cell_size).astype(jnp.int32)
+    h = _hash_cells(cells, table_size).astype(jnp.int32)
+    h = jnp.where(valid, h, table_size)
+    order, dst = _slot_plan(h, table_size, c, base_counts=index.counts)
+
+    flat_xyz = index.pxyz.reshape(-1).at[dst].set(
+        _pack_lattice(points, index.cell_size)[order], mode="drop")
+    flat_id = index.pid.reshape(-1).at[dst].set(
+        ids[order].astype(jnp.float32), mode="drop")
+    counts = index.counts.at[
+        jnp.where(valid, h, table_size + 1)].add(1, mode="drop")
+    return PackedGridIndex(flat_xyz.reshape(table_size + 1, c),
+                           flat_id.reshape(table_size + 1, c),
+                           index.cell_size, counts)
 
 
 # The 27 neighbor-cell offsets, static.
@@ -223,14 +383,25 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
         jnp.arange(27)[None, :, None] > jnp.arange(27)[None, None, :])
     probe_ok = ~jnp.any(dup, axis=-1)  # (Q, 27)
 
-    dx = index.px[hs] - q[:, None, None, 0]                  # (Q,27,C)
-    dy = index.py[hs] - q[:, None, None, 1]
-    dz = index.pz[hs] - q[:, None, None, 2]
-    # stack + sum mirrors the packed-table version's reduction exactly
-    # (bit-parity with the pre-plane-split implementation; XLA fuses the
-    # stack away)
-    diff = jnp.stack([dx, dy, dz], axis=-1)
-    d2 = jnp.sum(diff * diff, axis=-1)                       # (Q,27,C)
+    if isinstance(index, PackedGridIndex):
+        x, y, z = _unpack_lattice(index.pxyz[hs])            # (Q,27,C)
+        qm = _query_lattice(q, index.cell_size)              # (Q,3)
+        dx = _wrap_diff(x - qm[:, None, None, 0])
+        dy = _wrap_diff(y - qm[:, None, None, 1])
+        dz = _wrap_diff(z - qm[:, None, None, 2])
+        g = index.cell_size / _Q_PER_CELL
+        # lattice d2 is exact in quanta^2; scale to metric units for the
+        # callers' radius thresholds (coordinates rounded by <= g/2/axis)
+        d2 = (dx * dx + dy * dy + dz * dz) * (g * g)
+    else:
+        dx = index.px[hs] - q[:, None, None, 0]              # (Q,27,C)
+        dy = index.py[hs] - q[:, None, None, 1]
+        dz = index.pz[hs] - q[:, None, None, 2]
+        # stack + sum mirrors the packed-table version's reduction exactly
+        # (bit-parity with the pre-plane-split implementation; XLA fuses
+        # the stack away)
+        diff = jnp.stack([dx, dy, dz], axis=-1)
+        d2 = jnp.sum(diff * diff, axis=-1)                   # (Q,27,C)
     d2 = jnp.where(probe_ok[:, :, None], d2, jnp.inf).reshape(nq, 27 * c)
 
     neg_top, pos = jax.lax.top_k(-d2, k)
@@ -393,6 +564,36 @@ def _ray_topk_kernel(ns: int, k: int, pc: int, lane_mask: int):
     return kernel
 
 
+def _ray_topk_kernel_packed(ns: int, k: int, pc: int, lane_mask: int):
+    """_ray_topk_kernel over ONE packed-lattice candidate plane.
+
+    Identical min-extraction structure; the candidate block is a single
+    i32 plane unpacked in VMEM (3 shifts/ands + casts, VPU-cheap) and
+    distances are wrap-corrected lattice d2 — exact integer arithmetic in
+    quanta^2 (<= 3*512^2 < 2^24). Empty slots (-1) unpack to +inf and fall
+    out through the same quantized-+inf validity threshold as the f32
+    kernel. Queries arrive as continuous lattice coordinates mod 1024."""
+    def kernel(v_ref, ci_ref, qx_ref, qy_ref, qz_ref, out_p_ref, out_i_ref):
+        X, Y, Z = _unpack_lattice(v_ref[...])
+        CI = ci_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, X.shape, 1)
+        for s in range(ns):
+            dx = _wrap_diff(X - qx_ref[:, s][:, None])
+            dy = _wrap_diff(Y - qy_ref[:, s][:, None])
+            dz = _wrap_diff(Z - qz_ref[:, s][:, None])
+            d2 = dx * dx + dy * dy + dz * dz
+            packed = ((jax.lax.bitcast_convert_type(d2, jnp.int32)
+                       & ~jnp.int32(lane_mask)) | lane)
+            for kk in range(k):
+                m = jnp.min(packed, axis=-1, keepdims=True)  # (BLK, 1)
+                sel = lane == (m & lane_mask)
+                out_p_ref[:, s * k + kk] = m[:, 0]
+                out_i_ref[:, s * k + kk] = jnp.sum(
+                    jnp.where(sel, CI, 0.0), axis=-1)
+                packed = jnp.where(sel, jnp.int32(0x7FFFFFFF), packed)
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("k", "probes"))
 def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8,
                  probes: int = 0):
@@ -429,35 +630,56 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8,
     rp = r + pad
 
     probe_rows, compact = _box_probes(q, index.cell_size, table_size, p_ray)
-    # Component-plane gathers feed the kernel its layout directly — no
-    # transpose/copy stage. The id plane is gathered at probe width like
-    # the coordinate planes; winner ids come out of the kernel (see
-    # _ray_topk_kernel for why an XLA id-reconstruction epilogue loses).
-    cx = index.px[probe_rows].reshape(rp, pc)                # (R, P*C)
-    cy = index.py[probe_rows].reshape(rp, pc)
-    cz = index.pz[probe_rows].reshape(rp, pc)
-    ci = index.pid[probe_rows].reshape(rp, pc)
-
     bs_c = pl.BlockSpec((_RAY_BLK, pc), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     bs_q = pl.BlockSpec((_RAY_BLK, ns), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     bs_o = pl.BlockSpec((_RAY_BLK, ns * k), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    packed, ids = pl.pallas_call(
-        _ray_topk_kernel(ns, k, pc, lane_mask),
-        grid=(rp // _RAY_BLK,),
-        in_specs=[bs_c, bs_c, bs_c, bs_c, bs_q, bs_q, bs_q],
-        out_specs=[bs_o, bs_o],
-        out_shape=[jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
-                   jax.ShapeDtypeStruct((rp, ns * k), jnp.float32)],
-        interpret=jax.default_backend() == "cpu",
-    )(cx, cy, cz, ci, q[..., 0], q[..., 1], q[..., 2])
+    out_shape = [jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
+                 jax.ShapeDtypeStruct((rp, ns * k), jnp.float32)]
+    interpret = jax.default_backend() == "cpu"
+    if isinstance(index, PackedGridIndex):
+        # ONE packed-coordinate row + the id row per probe: 8 bytes/slot
+        # gathered instead of 16, half the gather rows. Queries go in as
+        # continuous lattice coordinates (mod 1024).
+        cv = index.pxyz[probe_rows].reshape(rp, pc)          # (R, P*C) i32
+        ci = index.pid[probe_rows].reshape(rp, pc)
+        qm = _query_lattice(q, index.cell_size)              # (R, ns, 3)
+        packed, ids = pl.pallas_call(
+            _ray_topk_kernel_packed(ns, k, pc, lane_mask),
+            grid=(rp // _RAY_BLK,),
+            in_specs=[bs_c, bs_c, bs_q, bs_q, bs_q],
+            out_specs=[bs_o, bs_o],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cv, ci, qm[..., 0], qm[..., 1], qm[..., 2])
+        g = index.cell_size / _Q_PER_CELL
+        d2_scale = g * g                                     # quanta^2 -> m^2
+    else:
+        # Component-plane gathers feed the kernel its layout directly — no
+        # transpose/copy stage. The id plane is gathered at probe width
+        # like the coordinate planes; winner ids come out of the kernel
+        # (see _ray_topk_kernel for why an XLA id-reconstruction epilogue
+        # loses).
+        cx = index.px[probe_rows].reshape(rp, pc)            # (R, P*C)
+        cy = index.py[probe_rows].reshape(rp, pc)
+        cz = index.pz[probe_rows].reshape(rp, pc)
+        ci = index.pid[probe_rows].reshape(rp, pc)
+        packed, ids = pl.pallas_call(
+            _ray_topk_kernel(ns, k, pc, lane_mask),
+            grid=(rp // _RAY_BLK,),
+            in_specs=[bs_c, bs_c, bs_c, bs_c, bs_q, bs_q, bs_q],
+            out_specs=[bs_o, bs_o],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cx, cy, cz, ci, q[..., 0], q[..., 1], q[..., 2])
+        d2_scale = jnp.float32(1.0)
 
     valid = packed < jnp.int32(0x7F800000)                   # quantized +inf
     idx = jnp.where(valid, ids, 0.0).astype(jnp.int32)
     d2q = jax.lax.bitcast_convert_type(packed & ~jnp.int32(lane_mask),
-                                       jnp.float32)
+                                       jnp.float32) * d2_scale
     d2q = jnp.where(valid, d2q, jnp.inf)
     out = (d2q.reshape(rp * ns, k)[:r * ns],
            idx.reshape(rp * ns, k)[:r * ns],

@@ -231,10 +231,12 @@ def add_points(state: CloudState, index: knn.GridIndex,
 
 
 def build_index(state: CloudState, cell_size, table_size: int = 1 << 16,
-                max_per_cell: int = 96) -> knn.GridIndex:
-    return knn.build_grid_index(state.pos, state.n_points,
-                                jnp.asarray(cell_size, jnp.float32),
-                                table_size, max_per_cell)
+                max_per_cell: int = 96, packed_coords: bool = False):
+    build = (knn.build_packed_grid_index if packed_coords
+             else knn.build_grid_index)
+    return build(state.pos, state.n_points,
+                 jnp.asarray(cell_size, jnp.float32),
+                 table_size, max_per_cell)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))

@@ -350,3 +350,18 @@ def test_frozen_pretrained_geo_decoder(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(geo_before),
                     jax.tree_util.tree_leaves(geo_after)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_packed_coords_e2e(tmp_path):
+    """Full SLAM with tpu.knn_packed_coords=True: the lattice-packed kNN
+    table (selection-only quantization, ops/knn.py) must keep tracking on
+    the trajectory and densify a comparable cloud."""
+    cfg = e2e_cfg(tmp_path, n=8)
+    cfg["tpu"]["knn_packed_coords"] = True
+    slam = PointSLAM(cfg)
+    summary = slam.run()
+    assert summary["n_frames"] == 8
+    assert summary["n_points"] > 200
+    ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
+                       align=False)
+    assert ate["absolute_translational_error.rmse"] < 0.10, ate
