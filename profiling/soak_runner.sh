@@ -14,7 +14,9 @@ MAX=${1:-20}
 note() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$LOG/soak.log"; }
 
 health() {
-  timeout 90 python -c "
+  # 180s: device enumeration + first compile over the tunnel routinely
+  # takes 70-90s when healthy; 90s flapped on a healthy device
+  timeout 180 python -c "
 import jax, jax.numpy as jnp, numpy as np
 y = jnp.ones((256,256)) @ jnp.ones((256,256))
 assert float(np.asarray(y)[0,0]) == 256.0
