@@ -120,6 +120,22 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(HERE, ".jax_cache"))
+
+    # Stall forensics (round-4, VERDICT #2): capture every XLA compile with a
+    # timestamp so a slow measured frame can be CLASSIFIED (recompile vs
+    # device/tunnel stall vs prefetch starvation) and annotated in the output
+    # instead of silently wrecking a window.
+    import logging
+    jax.config.update("jax_log_compiles", True)
+    compile_events = []  # (t_wall, message head)
+
+    class _CompileHandler(logging.Handler):
+        def emit(self, record):
+            msg = record.getMessage()
+            if "ompil" in msg:  # "Compiling ..." / "Finished XLA compilation"
+                compile_events.append((time.time(), msg[:160]))
+
+    logging.getLogger("jax").addHandler(_CompileHandler())
     log(f"devices: {jax.devices()}")
 
     from point_slam_tpu.config import load_config
@@ -142,6 +158,12 @@ def main():
     # capacity sized so neither the cloud nor the hash table grows during the
     # measured region (growth = recompile; 41 frames x <=21k pts/map << 2^19)
     cfg["tpu"].update({"point_capacity_init": 1 << 19})
+    # sweep hook: BENCH_TPU_OVERRIDES='{"knn_probes": 27}' runs the identical
+    # harness with tpu-knob overrides (A/B sweeps quote the same statistics)
+    overrides = json.loads(os.environ.get("BENCH_TPU_OVERRIDES", "{}"))
+    if overrides:
+        log(f"tpu overrides: {overrides}")
+        cfg["tpu"].update(overrides)
     cfg["verbose"] = False
     cfg["data"]["output"] = os.path.join(HERE, "output", "bench")
 
@@ -183,9 +205,16 @@ def main():
         slam.dataset, depth=int(cfg["tpu"].get("prefetch_depth", 4)),
         start=1, stop=N_FRAMES, stage=_stage, fetch=slam.dataset.wire)
     t_measure_start = None
-    frame_wall = []           # (idx, wall_s, was_mapped) for measured frames
+    frame_wall = []  # dicts: idx/wall/mapped/t0/t1/wait for measured frames
     track_times, map_times = [], []
-    for frame_idx, color, depth, radius, gt in prefetcher:
+    pf_iter = iter(prefetcher)
+    while True:
+        t_w0 = time.time()
+        try:
+            frame_idx, color, depth, radius, gt = next(pf_iter)
+        except StopIteration:
+            break
+        t_wait = time.time() - t_w0  # blocked on the prefetch worker
         idx = int(frame_idx)
         if idx == WARMUP_FRAMES:
             t_measure_start = time.time()
@@ -207,11 +236,14 @@ def main():
                                   slam.estimate_c2w_list[idx],
                                   radius=radius)
             t_map = time.time() - t0
-        log(f"  frame {idx}: track {t_track:.2f}s map {t_map:.2f}s")
+        log(f"  frame {idx}: track {t_track:.2f}s map {t_map:.2f}s"
+            + (f" wait {t_wait:.2f}s" if t_wait > 0.05 else ""))
         state["t_last"] = time.time()
         if idx >= WARMUP_FRAMES:
             state["n_done"] += 1
-            frame_wall.append((idx, time.time() - t_frame0, mapped))
+            frame_wall.append({"idx": idx, "wall": time.time() - t_frame0,
+                               "mapped": mapped, "t0": t_frame0,
+                               "t1": time.time(), "wait": t_wait})
             (map_times if mapped else track_times).append(
                 t_map + t_track if mapped else t_track)
 
@@ -224,13 +256,52 @@ def main():
     window_fps = []
     for wi in range(N_WINDOWS):
         chunk = frame_wall[wi * WINDOW_FRAMES:(wi + 1) * WINDOW_FRAMES]
-        wall = sum(t for _, t, _ in chunk)
+        wall = sum(r["wall"] for r in chunk)
         if chunk and wall > 0:
             window_fps.append(len(chunk) / wall)
     fps = _pctl(window_fps, 50) if window_fps else fps_overall
     log(f"measured {n_measured} frames in {elapsed:.1f}s -> overall "
         f"{fps_overall:.3f} fps; windows "
         f"{[round(f, 3) for f in window_fps]} -> median {fps:.3f} fps")
+
+    # ---- stall classification (VERDICT r3 #2): any measured frame > 3x its
+    # kind-p50 gets a cause attached instead of silently degrading a window.
+    # "recompile"   = an XLA compile event landed inside the frame interval
+    #                 (should never happen — warmup covers every shape)
+    # "prefetch"    = the frame itself was fine but the loop sat blocked on
+    #                 the prefetch worker beforehand (host/data starvation)
+    # "device-stall"= neither: time vanished inside device calls with no
+    #                 compile — the remote-TPU tunnel hiccup signature
+    track_p50 = _pctl(track_times, 50) if track_times else 0.0
+    map_p50 = _pctl(map_times, 50) if map_times else 0.0
+    stalls = []
+    for r in frame_wall:
+        p50 = map_p50 if r["mapped"] else track_p50
+        if p50 <= 0 or r["wall"] <= 3.0 * p50:
+            continue
+        excess = r["wall"] - p50
+        compiles = [m for te, m in compile_events if r["t0"] <= te <= r["t1"]]
+        if compiles:
+            cause = "recompile"
+        elif r["wait"] > 0.5 * excess:
+            cause = "prefetch"
+        else:
+            cause = "device-stall"
+        stalls.append({"frame": r["idx"], "wall_s": round(r["wall"], 3),
+                       "over_p50": round(r["wall"] / p50, 1), "cause": cause,
+                       **({"compiles": compiles[:3]} if compiles else {})})
+        log(f"STALL frame {r['idx']}: {r['wall']:.2f}s "
+            f"({r['wall'] / p50:.0f}x p50) cause={cause}")
+    # windows deviating >10% from the median carry their stall frames
+    window_notes = []
+    for wi, wf in enumerate(window_fps):
+        if abs(wf - fps) > 0.10 * fps:
+            lo = WARMUP_FRAMES + wi * WINDOW_FRAMES
+            hi = lo + WINDOW_FRAMES
+            window_notes.append({
+                "window": wi, "fps": round(wf, 4),
+                "stall_frames": [s["frame"] for s in stalls
+                                 if lo <= s["frame"] < hi] or "unexplained"})
 
     from point_slam_tpu.tools.eval_ate import evaluate_ate
     ate = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list, align=False)
@@ -247,6 +318,11 @@ def main():
         "fps_windows": [round(f, 4) for f in window_fps],
         "tracked_frames": _frame_stats(track_times),
         "mapped_frames": _frame_stats(map_times),
+        "stalls": stalls,
+        "window_anomalies": window_notes,
+        "n_compile_events_measured": len(
+            [1 for te, _ in compile_events
+             if t_measure_start and te >= t_measure_start]),
         "n_measured_frames": n_measured,
         "ate_rmse_noalign_cm": round(
             ate["absolute_translational_error.rmse"] * 100, 3),

@@ -44,6 +44,13 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # end-to-end TPU measurement says
                                           # it wins: 'auto' (TPU only) |
                                           # True | False
+        "mlp_precision": None,            # matmul precision for the decoder
+                                          # MLP BLOCKS only (renderer threads
+                                          # it via RenderConfig): None/'highest'
+                                          # = the pinned global six-pass f32;
+                                          # 'default' = one bf16-input /
+                                          # f32-accumulate MXU pass. Fourier
+                                          # embeddings always stay 'highest'.
         "knn_probes": 36,                 # per-ray probe-slot budget for the
                                           # Pallas ray-kNN (compiled kernel
                                           # shape; 27..48 sensible — see

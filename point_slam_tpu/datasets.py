@@ -122,8 +122,18 @@ class BaseDataset:
         color, depth = self._frame_arrays(index)
         cu8 = np.clip(np.rint(color * np.float32(255.0)), 0, 255) \
             .astype(np.uint8)
-        du16 = np.clip(np.rint(depth * np.float32(self.png_depth_scale)),
-                       0, 65535).astype(np.uint16)
+        dq = np.rint(depth * np.float32(self.png_depth_scale))
+        if dq.max(initial=0.0) > 65535.0:
+            # out-of-lattice depth would silently saturate far geometry —
+            # surface it loudly instead (e.g. a scene deeper than
+            # 65535/png_depth_scale metres)
+            import warnings
+            warnings.warn(
+                f"frame {index}: depth {depth.max():.2f} m exceeds the u16 "
+                f"wire lattice ({65535.0 / float(self.png_depth_scale):.2f} m"
+                f" at png_depth_scale={self.png_depth_scale}); far geometry "
+                "will be clipped", RuntimeWarning, stacklevel=2)
+        du16 = np.clip(dq, 0, 65535).astype(np.uint16)
         packed = np.concatenate([cu8, du16[..., None].view(np.uint8)],
                                 axis=-1)
         return index, packed, self.poses[index].astype(np.float32)

@@ -341,7 +341,15 @@ def _losses(ms: MapperStatic, rc: R.RenderConfig, params, packed,
     return loss, (geo_loss, color_loss, jnp.sum(mask))
 
 
-@functools.partial(jax.jit, static_argnames=("ms", "rc"))
+@functools.partial(
+    jax.jit, static_argnames=("ms", "rc"),
+    # chunked launches re-feed the (CAP,72) packed leaf plus two same-shape
+    # Adam moments (~450 MB at CAP=2^19) every max_iters_per_launch
+    # iterations; donating them lets XLA alias input->output instead of
+    # copying. The host caller never reuses these inputs after the call
+    # (self.cloud/self.params are swapped to the outputs); first-chunk
+    # opt_in=None donates nothing.
+    donate_argnames=("packed", "window_exposure", "opt_in"))
 def map_optimize(ms: MapperStatic, rc: R.RenderConfig,
                  params, packed, n_points, index,
                  window_color, window_depth, window_rquery, window_c2w,
@@ -735,6 +743,12 @@ class Mapper:
                 add_n = mp["pixels_adding"]
             self._ensure_capacity(
                 (self.ms.add_max + self.ms.grad_max) * self.ms.n_add)
+            # insert_index hard precondition (n_old + m <= capacity): the
+            # worst case over BOTH densify batches is exactly the bound
+            # _ensure_capacity just guaranteed
+            assert (self.n_points_host
+                    + (self.ms.add_max + self.ms.grad_max) * self.ms.n_add
+                    <= self.cloud.pos.shape[0])
 
             o, d, dep, col, ra, valid = sample_add_rays(
                 self.ms, self._next_key(), cur_c2w_dev, color_dev, depth_dev,

@@ -78,8 +78,15 @@ def _normal_w_torch_b(key, in_dim, out_dim, std=0.01):
             "b": jax.random.uniform(kb, (out_dim,), jnp.float32, -bound, bound)}
 
 
-def _linear(p, x):
-    return x @ p["w"] + p["b"]
+def _linear(p, x, precision=None):
+    """precision=None inherits the global default (run.py pins 'highest').
+
+    The mapper/tracker relax ONLY these MLP-block matmuls via
+    tpu.mlp_precision ('default' = one bf16 MXU pass instead of six f32
+    passes); Fourier embeddings keep full precision — their high-frequency
+    phase projections (scale 25/32) lose ~0.5 rad to bf16 rounding.
+    """
+    return jnp.matmul(x, p["w"], precision=precision) + p["b"]
 
 
 def softplus100(x):
@@ -217,26 +224,26 @@ def interpolate_features(feats, idx, weights):
 
 # ---------------------------------------------------------------- MLP applies
 
-def _mlp_forward(pts_linears, fc_c, emb, c, act):
+def _mlp_forward(pts_linears, fc_c, emb, c, act, precision=None):
     h = emb
     for i in range(N_BLOCKS):
-        h = act(_linear(pts_linears[i], h))
-        h = h + _linear(fc_c[i], c)
+        h = act(_linear(pts_linears[i], h, precision))
+        h = h + _linear(fc_c[i], c, precision)
         if i == SKIP:
             h = jnp.concatenate([emb, h], axis=-1)
     return h
 
 
-def geo_decoder_apply(geo_params, p, c):
+def geo_decoder_apply(geo_params, p, c, precision=None):
     """Occupancy logits for points p given interpolated features c. (N,)"""
     emb = fourier_embed(geo_params["embedder_B"], p, concat=False)
     h = _mlp_forward(geo_params["pts_linears"], geo_params["fc_c"], emb, c,
-                     jax.nn.relu)
-    return _linear(geo_params["output_linear"], h)[..., 0]
+                     jax.nn.relu, precision)
+    return _linear(geo_params["output_linear"], h, precision)[..., 0]
 
 
 def col_decoder_apply(col_params, p, c, views_d=None, exposure_feat=None,
-                      apply_sigmoid=True):
+                      apply_sigmoid=True, precision=None):
     """RGB for points p. Mirrors MLP_color.forward (decoder.py:392-449)."""
     emb = fourier_embed(jax.lax.stop_gradient(col_params["embedder_B"]), p,
                         concat=True)
@@ -250,8 +257,8 @@ def col_decoder_apply(col_params, p, c, views_d=None, exposure_feat=None,
             vemb = vnorm
         emb = jnp.concatenate([emb, vemb], axis=-1)
     h = _mlp_forward(col_params["pts_linears"], col_params["fc_c"], emb, c,
-                     softplus100)
-    out = _linear(col_params["output_linear"], h)
+                     softplus100, precision)
+    out = _linear(col_params["output_linear"], h, precision)
     if exposure_feat is not None:
         rot, trans = exposure_affine(col_params, exposure_feat)
         out = out @ rot + trans
@@ -267,7 +274,8 @@ def exposure_affine(col_params, exposure_feat):
     return aff[..., :9].reshape(*aff.shape[:-1], 3, 3), aff[..., 9:]
 
 
-def encode_neighbor_feats(col_params, neighbor_pos, p, neighbor_feats):
+def encode_neighbor_feats(col_params, neighbor_pos, p, neighbor_feats,
+                          precision=None):
     """F_theta relative-position encoding of neighbor features
     (decoder.py:373-381): (N,K,c) -> (N,K,c)."""
     rel = neighbor_pos - p[:, None, :]
@@ -276,7 +284,8 @@ def encode_neighbor_feats(col_params, neighbor_pos, p, neighbor_feats):
     emb = emb.reshape(neighbor_pos.shape[0], -1, 2 * REL_EMB)
     x = jnp.concatenate([emb, neighbor_feats], axis=-1)
     mp = col_params["mlp_col_neighbor"]
-    return _linear(mp["l2"], softplus100(_linear(mp["l1"], x)))
+    return _linear(mp["l2"], softplus100(_linear(mp["l1"], x, precision)),
+                   precision)
 
 
 def random_fill_features(key, c, has_neighbors, c_dim):

@@ -245,7 +245,13 @@ def insert_index(state: CloudState, index: knn.GridIndex,
     """Fold rows [n_old, n_points) — at most ``m`` of them (the static
     densify batch bound) — into the cell table. Bit-identical to a full
     build_index over the grown cloud (points only ever append; see
-    knn.insert_grid_index)."""
+    knn.insert_grid_index).
+
+    HARD PRECONDITION: n_old + m <= capacity. dynamic_slice CLAMPS an
+    out-of-range start, so violating this silently misaligns the sliced
+    rows against ids = n_old + arange(m) and corrupts the index. Every
+    call site must guarantee capacity first (the mapper does, via
+    _ensure_capacity before densification)."""
     start = jnp.asarray(n_old, jnp.int32)
     rows = jax.lax.dynamic_slice(state.pos, (start, jnp.int32(0)), (m, 3))
     ids = start + jnp.arange(m, dtype=jnp.int32)

@@ -49,6 +49,12 @@ class RenderConfig(NamedTuple):
     # per-ray probe-slot budget for ray_grid_knn (tpu.knn_probes); a
     # compiled kernel shape, so it lives in the static config
     knn_probes: int = 36
+    # matmul precision for the decoder MLP blocks ONLY (tpu.mlp_precision):
+    # None inherits the global default ('highest' — six f32 MXU passes);
+    # 'default' runs them as one bf16-input/f32-accumulate pass. Fourier
+    # embeddings always stay at the global precision (high-frequency phase
+    # projections are rounding-sensitive).
+    mlp_precision: Optional[str] = None
 
 
 def _resolve_ray_knn(cfg: Dict[str, Any]) -> bool:
@@ -59,8 +65,12 @@ def _resolve_ray_knn(cfg: Dict[str, Any]) -> bool:
 
 
 def make_render_config(cfg: Dict[str, Any], sigmoid_coef: float) -> RenderConfig:
+    mlp_prec = cfg.get("tpu", {}).get("mlp_precision", None)
+    if mlp_prec in ("", "global", "highest"):
+        mlp_prec = None  # 'highest' IS the pinned global default
     return RenderConfig(
         ray_knn=_resolve_ray_knn(cfg),
+        mlp_precision=mlp_prec,
         knn_probes=int(cfg.get("tpu", {}).get("knn_probes", 0))
         or knn._P_RAY_DEFAULT,
         n_surface=cfg["rendering"]["N_surface"],
@@ -185,7 +195,8 @@ def render_rays(params: Dict[str, Any], packed, n_points,
     kg, kc = jax.random.split(key)
     c_geo = jnp.sum(w[..., None] * pc.neighbor_geo(nb), axis=1)
     c_geo = D.random_fill_features(kg, c_geo, has_neighbors, c_dim)
-    occ = D.geo_decoder_apply(params["geo"], p, c_geo)
+    occ = D.geo_decoder_apply(params["geo"], p, c_geo,
+                              precision=rc.mlp_precision)
 
     valid_ray = jnp.sum(has_neighbors.reshape(r, ns), axis=1) >= (ns // 2 + 1)
     valid_ray = valid_ray & near_pcl_ok
@@ -194,7 +205,8 @@ def render_rays(params: Dict[str, Any], packed, n_points,
         neigh_feats = pc.neighbor_col(nb)                    # (N,K,c)
         if rc.encode_rel_pos_in_col:
             neigh_feats = D.encode_neighbor_feats(params["col"], neigh_pos, p,
-                                                  neigh_feats)
+                                                  neigh_feats,
+                                                  precision=rc.mlp_precision)
         c_col = jnp.sum(w[..., None] * neigh_feats, axis=1)
         c_col = D.random_fill_features(kc, c_col, has_neighbors, c_dim)
         views_d = None
@@ -202,11 +214,13 @@ def render_rays(params: Dict[str, Any], packed, n_points,
             views_d = jnp.repeat(rays_d, ns, axis=0)
         if rc.encode_exposure and exposure_feat is not None:
             rgb = D.col_decoder_apply(params["col"], p, c_col, views_d,
-                                      exposure_feat=exposure_feat)
+                                      exposure_feat=exposure_feat,
+                                      precision=rc.mlp_precision)
         else:
             sig = apply_sigmoid_color and not rc.encode_exposure
             rgb = D.col_decoder_apply(params["col"], p, c_col, views_d,
-                                      apply_sigmoid=sig)
+                                      apply_sigmoid=sig,
+                                      precision=rc.mlp_precision)
     else:
         rgb = jnp.zeros((p.shape[0], 3), jnp.float32)
 

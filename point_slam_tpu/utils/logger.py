@@ -110,8 +110,17 @@ def restore_cloud_and_params(ckpt: Dict[str, np.ndarray], mapper) -> None:
         n_inputs=jnp.asarray(ni, jnp.int32),
     )
     mapper.n_points_host = n
+    # keep hash-bucket occupancy bounded after restoring a large cloud —
+    # same rescale rule as Mapper._ensure_capacity (an overfull bucket
+    # silently drops points past max_per_cell, weakening densify dedup)
+    while mapper.table_size < cap // 8:
+        mapper.table_size *= 2
+    # pass packed_coords so a resumed run keeps the SAME index pytree type
+    # as a continuous run (a type flip forces recompiles of every jit that
+    # takes the index and changes runtime behavior)
     mapper.index = pc.build_index(mapper.cloud, mapper.cell_size,
-                                  mapper.table_size, mapper.max_per_cell)
+                                  mapper.table_size, mapper.max_per_cell,
+                                  mapper.packed_coords)
     mapper.params = _unflatten_params(mapper.params, ckpt)
     mapper.keyframe_list = [int(i) for i in ckpt["keyframe_list"]]
 
