@@ -257,21 +257,25 @@ class PointSLAM:
                 # with vis_inside the end-of-frame panel is redundant
                 # except on frame 0 (src/Mapper.py:598-603)
                 if not self.map_vis.vis_inside or idx == 0:
-                    self.map_vis.vis(idx, st["n_iters"] - 1, st["n_iters"],
-                                     self.mapper, self.estimate_c2w_list[idx],
-                                     depth, color,
-                                     save_rendered_image=cfg["mapping"][
-                                         "save_rendered_image"],
-                                     r_query=r_query)
+                    panel = self.map_vis.vis(
+                        idx, st["n_iters"] - 1, st["n_iters"],
+                        self.mapper, self.estimate_c2w_list[idx],
+                        depth, color,
+                        save_rendered_image=cfg["mapping"][
+                            "save_rendered_image"],
+                        r_query=r_query)
+                    self.mlog.log_image("mapping_vis", panel, step=idx)
                 if ckpt_freq and idx % ckpt_freq == 0 and idx != n - 1:
                     from point_slam_tpu.utils.logger import save_checkpoint
                     save_checkpoint(os.path.join(
                         self.output, "ckpts", f"{idx:05d}.npz"), self, idx)
             elif res.get("tracked"):
-                self.track_vis.vis(idx, self.tracker.iters - 1,
-                                   self.tracker.iters, self.mapper,
-                                   self.estimate_c2w_list[idx], depth, color,
-                                   r_query=r_query)
+                panel = self.track_vis.vis(
+                    idx, self.tracker.iters - 1,
+                    self.tracker.iters, self.mapper,
+                    self.estimate_c2w_list[idx], depth, color,
+                    r_query=r_query)
+                self.mlog.log_image("tracking_vis", panel, step=idx)
 
         # final point-cloud artifacts (src/Mapper.py:756-772): surface input
         # points with rgb as npy+ply, neural point positions as npy
@@ -288,6 +292,11 @@ class PointSLAM:
             from point_slam_tpu.utils.ply import write_ply
             write_ply(os.path.join(self.output, "final_point_cloud.ply"),
                       cloud_pos, colors=cloud_rgb / 255.0)
+            # mirror the final cloud to the metrics sink (the reference's
+            # wandb.Object3D dump, src/Mapper.py:770-772)
+            self.mlog.log_points("input_pc", cloud_pos, cloud_rgb, step=n - 1)
+            self.mlog.log({"final_point_cloud_ply": os.path.join(
+                self.output, "final_point_cloud.ply")})
         except Exception as e:  # pragma: no cover
             print("point cloud dump failed:", e)
 

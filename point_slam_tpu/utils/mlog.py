@@ -40,6 +40,36 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, name: str, path: str,
+                  step: Optional[int] = None) -> None:
+        """Mirror an on-disk image artifact (vis panel, rendered frame) to
+        wandb (the reference's per-panel ``wandb.log({...: wandb.Image})``,
+        src/utils/Visualizer.py:55-61). The file itself is the primary
+        artifact; this is a pure mirror and a no-op without wandb."""
+        if self._wandb is not None and path:
+            try:
+                self._wandb.log({name: self._wandb.Image(path)}, step=step)
+            except Exception:
+                pass
+
+    def log_points(self, name: str, positions, colors=None,
+                   step: Optional[int] = None) -> None:
+        """Mirror a point cloud to wandb as Object3D (the reference's
+        ``wandb.Object3D`` dumps, src/Mapper.py:770-772). positions (N,3)
+        float; colors (N,3) in [0,255] optional."""
+        if self._wandb is None:
+            return
+        try:
+            import numpy as np
+            pos = np.asarray(positions, np.float32)
+            if colors is not None:
+                pts = np.hstack([pos, np.asarray(colors, np.float32)])
+            else:
+                pts = pos
+            self._wandb.log({name: self._wandb.Object3D(pts)}, step=step)
+        except Exception:
+            pass
+
     def finish(self) -> None:
         self._fh.close()
         if self._wandb is not None:

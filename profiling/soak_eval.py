@@ -1,0 +1,92 @@
+"""At-scale eval from the ScanNet-scale soak checkpoint (VERDICT r3 #3).
+
+Loads the final soak checkpoint (5,000 frames / ~111k points / 500
+keyframes), then runs the full end-of-run quality pipeline that the soak's
+config did not enable inline: re-render every mapped frame with the
+per-frame color-decoder snapshots + exposure features (eval_img=True ->
+PSNR/MS-SSIM/depth-L1), TSDF-fuse + mesh, F-score vs the analytic GT mesh,
+and record device memory stats at scale. Writes render_metrics.json,
+mesh/recon_eval.json and eval_memory.json into the run dir — the inputs
+profiling/soak_summary.py aggregates.
+
+Usage: python profiling/soak_eval.py <run_dir>
+"""
+import glob
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import numpy as np
+
+
+def main():
+    run = sys.argv[1].rstrip("/")
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")  # as run.py
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(HERE, ".jax_cache"))
+
+    from point_slam_tpu.config import load_config
+    from point_slam_tpu.slam import PointSLAM
+    from point_slam_tpu.utils.logger import (
+        load_checkpoint, restore_cloud_and_params,
+        restore_color_decoder_snapshots)
+    from point_slam_tpu.tools.evaluate import (rerender_frames,
+                                               eval_reconstruction)
+    from point_slam_tpu.tools.mesher import mesh_from_renders
+
+    cfg = load_config(
+        os.path.join(HERE, "configs", "Synthetic", "room_scannet_scale.yaml"),
+        os.path.join(HERE, "configs", "point_slam.yaml"))
+    cfg["verbose"] = True
+    slam = PointSLAM(cfg, output=run)
+    ckpts = sorted(glob.glob(os.path.join(run, "ckpts", "*.npz")))
+    assert ckpts, f"no checkpoints under {run}"
+    print("loading", ckpts[-1], flush=True)
+    ckpt = load_checkpoint(ckpts[-1])
+    restore_cloud_and_params(ckpt, slam.mapper)
+    restore_color_decoder_snapshots(ckpt, slam.mapper)
+    if ckpt.get("exposure_feat_all") is not None and \
+            ckpt["exposure_feat_all"].size:
+        slam.mapper.exposure_feat_all = list(
+            ckpt["exposure_feat_all"].astype(np.float32))
+    n = min(len(ckpt["estimate_c2w_list"]), slam.n_img)
+    slam.estimate_c2w_list[:n] = ckpt["estimate_c2w_list"][:n]
+    slam.gt_c2w_list[:n] = ckpt["gt_c2w_list"][:n]
+
+    print(f"restored: {slam.mapper.n_points_host} points, "
+          f"{len(slam.mapper.color_decoder_snapshots)} color snapshots, "
+          f"{len(slam.mapper.exposure_feat_all)} exposure feats", flush=True)
+
+    rr = rerender_frames(slam, run, save_renders=True, eval_img=True)
+    rr = {k: (float(v) if v is not None else None) for k, v in rr.items()}
+    with open(os.path.join(run, "render_metrics.json"), "w") as f:
+        json.dump(rr, f, indent=1)
+    print("render_metrics:", rr, flush=True)
+
+    mesh_path = os.path.join(run, "mesh", "final_mesh.ply")
+    mesh_from_renders(slam, run, mesh_path,
+                      voxel=cfg["meshing"].get("voxel", 5.0 / 512.0))
+    cfg["meshing"]["eval_rec"] = True
+    rec = eval_reconstruction(slam, cfg, mesh_path, run)
+    rec = {k: float(v) for k, v in rec.items()}
+    with open(os.path.join(run, "mesh", "recon_eval.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print("recon_eval:", rec, flush=True)
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {k: int(v) for k, v in stats.items()
+               if isinstance(v, (int, np.integer))}
+    except Exception as e:
+        mem = {"error": str(e)}
+    with open(os.path.join(run, "eval_memory.json"), "w") as f:
+        json.dump(mem, f, indent=1)
+    print("eval_memory:", {k: mem[k] for k in sorted(mem)[:6]}, flush=True)
+
+
+if __name__ == "__main__":
+    main()
