@@ -44,19 +44,31 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # end-to-end TPU measurement says
                                           # it wins: 'auto' (TPU only) |
                                           # True | False
-        "mlp_precision": None,            # matmul precision for the decoder
+        "mlp_precision": "default",       # matmul precision for the decoder
                                           # MLP BLOCKS only (renderer threads
                                           # it via RenderConfig): None/'highest'
                                           # = the pinned global six-pass f32;
                                           # 'default' = one bf16-input /
                                           # f32-accumulate MXU pass. Fourier
                                           # embeddings always stay 'highest'.
-        "knn_probes": 36,                 # per-ray probe-slot budget for the
+                                          # Round-4 default flip: -0.7 ms/iter
+                                          # (profiling/probes_ab.py) with the
+                                          # quality gate flat (PSNR -0.13 dB,
+                                          # ATE/F-score slightly better —
+                                          # output/quality_gate_probes27_
+                                          # mlpdefault.json). No effect on CPU
+                                          # (precision is an MXU concept).
+        "knn_probes": 27,                 # per-ray probe-slot budget for the
                                           # Pallas ray-kNN (compiled kernel
                                           # shape; 27..48 sensible — see
-                                          # ops/knn.py). Default justified by
-                                          # the round-1 36-vs-48 end-to-end
-                                          # sweep (mapped frame 5.35->4.83 s)
+                                          # ops/knn.py). Round-1 sweep 48->36:
+                                          # mapped frame 5.35->4.83 s; round-4
+                                          # 36->27: -0.68 ms/iter with the
+                                          # quality gate flat (same A/B files
+                                          # as mlp_precision above). Consumed
+                                          # only by ray_grid_knn (TPU path) —
+                                          # the CPU grid_knn path and the
+                                          # determinism golden are untouched.
         "knn_packed_coords": "auto",      # store cell-table coordinates as
                                           # ONE 3x10-bit lattice-packed i32
                                           # plane (quantum cell_size/64)

@@ -120,6 +120,76 @@ def build_z_vals(rc: RenderConfig, index: knn.GridIndex,
     return z_vals, near_pcl_ok
 
 
+def _knn_core(index, pts, rc: RenderConfig):
+    """kNN over the (R, ns, 3) sample grid: Pallas ray-shared top-8 with the
+    per-sample fallback sweep (ray_knn), or per-sample grid_knn. Returns
+    (dists, idx, valid) flattened to (R*ns, K); ray_knn dists are zeros —
+    the caller recomputes exact distances from winner coordinates."""
+    if rc.ray_knn:
+        _, idx, valid, compact = knn.ray_grid_knn(
+            index, jax.lax.stop_gradient(pts), k=rc.nn_num,
+            probes=rc.knn_probes)
+        # Rays whose samples spread beyond the probed box (uniform sampling
+        # of depth-free rays; long-depth rays whose 0.98d-1.02d span exceeds
+        # the 4-cell box) would keep truncated neighbor sets; route those
+        # (rare) non-compact rays through per-sample grid_knn. The fallback
+        # is grid_knn_subset — a chunked sweep over ONLY the non-compact
+        # rays, so its cost tracks the actual fallback workload instead of
+        # the full batch (a full-batch parked-query pass costs ~5 ms/iter at
+        # mapping scale because grid_knn's cost is set by its static query
+        # count, and realistic depth maps make some ray non-compact almost
+        # every iteration). The outer lax.cond still skips even the subset
+        # sweep when every ray is compact.
+        def _fallback(_):
+            i_f, v_f = knn.grid_knn_subset(
+                index, jax.lax.stop_gradient(pts), ~compact, k=rc.nn_num)
+            rep = jnp.repeat(compact, pts.shape[1])[:, None]
+            return (jnp.where(rep, idx, i_f.reshape(-1, rc.nn_num)),
+                    jnp.where(rep, valid, v_f.reshape(-1, rc.nn_num)))
+
+        idx, valid = jax.lax.cond(
+            jnp.any(~compact), _fallback, lambda _: (idx, valid),
+            operand=None)
+        return jnp.zeros(valid.shape, jnp.float32), idx, valid
+    p = pts.reshape(-1, 3)
+    return knn.grid_knn(index, jax.lax.stop_gradient(p), k=rc.nn_num)
+
+
+def _knn_query(index, pts, rc: RenderConfig):
+    """_knn_core, dispatched per-device when a dp mesh is active.
+
+    Both kNN backends are opaque to the GSPMD partitioner — the Pallas
+    kernel lowers to a mosaic custom-call, and per-sample grid_knn's
+    lax.top_k lowers to the TopK custom-call — so under plain jit at dp=8
+    the partitioner ALL-GATHERS the (R*ns, probes*C) candidate-distance
+    block to every device and runs TopK replicated (measured: 2 x 70.8 MB
+    all-gathers per iteration at toy scale, profiling/dp_scaling.py /
+    output/dp_scaling.json — vs a 9.4 MB packed buffer). shard_map pins
+    the query to the local ray shard with the index tables replicated;
+    results are bit-exact vs the unsharded path (per-sample computation,
+    rays padded to a dp multiple with far-away dummies and sliced back)."""
+    from point_slam_tpu.parallel import mesh as pmesh
+    mesh = pmesh.get_mesh()
+    if mesh is None or mesh.shape.get("dp", 1) <= 1:
+        return _knn_core(index, pts, rc)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    dp = mesh.shape["dp"]
+    r, ns = pts.shape[0], pts.shape[1]
+    rpad = (-r) % dp
+    pts_in = pts if rpad == 0 else jnp.concatenate(
+        [pts, jnp.full((rpad, ns, 3), 1e7, pts.dtype)], axis=0)
+    fn = shard_map(
+        functools.partial(_knn_core, rc=rc), mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), index), P("dp")),
+        out_specs=P("dp"), check_vma=False)
+    dists, idx, valid = fn(index, pts_in)
+    if rpad:
+        n = r * ns
+        dists, idx, valid = dists[:n], idx[:n], valid[:n]
+    return dists, idx, valid
+
+
 def render_rays(params: Dict[str, Any], packed, n_points,
                 index: knn.GridIndex,
                 rays_o, rays_d, gt_depth, r_query, ray_valid,
@@ -147,46 +217,16 @@ def render_rays(params: Dict[str, Any], packed, n_points,
     p = pts.reshape(-1, 3)                                   # (R*ns, 3)
     r_query_pts = jnp.repeat(r_query, ns)
 
-    if rc.ray_knn:
-        _, idx, valid, compact = knn.ray_grid_knn(
-            index, jax.lax.stop_gradient(pts), k=rc.nn_num,
-            probes=rc.knn_probes)
-        # Rays whose samples spread beyond the probed box (uniform sampling
-        # of depth-free rays; long-depth rays whose 0.98d-1.02d span exceeds
-        # the 4-cell box) would keep truncated neighbor sets; route those
-        # (rare) non-compact rays through per-sample grid_knn. The fallback
-        # is grid_knn_subset — a chunked sweep over ONLY the non-compact
-        # rays, so its cost tracks the actual fallback workload instead of
-        # the full batch (a full-batch parked-query pass costs ~5 ms/iter at
-        # mapping scale because grid_knn's cost is set by its static query
-        # count, and realistic depth maps make some ray non-compact almost
-        # every iteration). The outer lax.cond still skips even the subset
-        # sweep when every ray is compact.
-        def _fallback(_):
-            i_f, v_f = knn.grid_knn_subset(
-                index, jax.lax.stop_gradient(pts), ~compact, k=rc.nn_num)
-            rep = jnp.repeat(compact, ns)[:, None]
-            return (jnp.where(rep, idx, i_f.reshape(-1, rc.nn_num)),
-                    jnp.where(rep, valid, v_f.reshape(-1, rc.nn_num)))
-
-        idx, valid = jax.lax.cond(
-            jnp.any(~compact), _fallback, lambda _: (idx, valid),
-            operand=None)
-        nb = packed[idx]                                     # (N,K,PACK_W)
-        neigh_pos = jax.lax.stop_gradient(pc.neighbor_pos(nb))
-        # exact distances from winner coordinates (ray_grid_knn's are
-        # selection-quantized); identical float ops to grid_knn's d2
+    dists, idx, valid = _knn_query(index, pts, rc)
+    nb = packed[idx]                                         # (N,K,PACK_W)
+    neigh_pos = jax.lax.stop_gradient(pc.neighbor_pos(nb))
+    if rc.ray_knn or is_tracker:
+        # ray_knn: exact distances from winner coordinates (ray_grid_knn's
+        # are selection-quantized); identical float ops to grid_knn's d2.
+        # is_tracker: recomputed differentiably so pose gradients flow.
         p_q = p if is_tracker else jax.lax.stop_gradient(p)
         diff = neigh_pos - p_q[:, None, :]
         dists = jnp.sum(diff * diff, axis=-1)
-    else:
-        dists, idx, valid = knn.grid_knn(index, jax.lax.stop_gradient(p),
-                                         k=rc.nn_num)
-        nb = packed[idx]                                     # (N,K,PACK_W)
-        neigh_pos = jax.lax.stop_gradient(pc.neighbor_pos(nb))
-        if is_tracker:
-            diff = neigh_pos - p[:, None, :]
-            dists = jnp.sum(diff * diff, axis=-1)
     counts = knn.neighbor_count(dists, valid, r_query_pts)
     has_neighbors = counts > rc.min_nn_num - 1
 
