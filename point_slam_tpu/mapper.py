@@ -676,10 +676,27 @@ class Mapper:
             self.ms.grad_top)
         return r_add, r_query, cand_idx, cand_ok
 
-    def select_keyframes(self, cur_c2w, gt_color, gt_depth):
+    def dispatch_overlap_scores(self, cur_c2w, gt_color, gt_depth):
+        """Launch the overlap-score computation WITHOUT syncing, so its
+        device compute and fetch RTT overlap the densification tail
+        (map_frame dispatches this before the densify-counter fetch).
+        Returns the device scores array, or None when selection does not
+        use overlap scores (empty store / refine / global method) — key
+        and numpy-rng draw order match select_keyframes exactly."""
+        mp = self.cfg["mapping"]
+        n_kf = len(self.keyframe_list)
+        if (n_kf == 0 or self.refine_mode
+                or mp["keyframe_selection_method"] != "overlap"):
+            return None
+        return overlap_scores(
+            self.ms, self.store.est_c2w_padded(), jnp.asarray(n_kf - 1),
+            cur_c2w, gt_color, gt_depth, self._next_key())
+
+    def select_keyframes(self, cur_c2w, gt_color, gt_depth, scores_dev=None):
         """Window of keyframe ring slots for this frame (reference semantics:
         overlap-or-global choice of window-2, plus the latest keyframe; the
-        current frame rides separately as the last slot)."""
+        current frame rides separately as the last slot). ``scores_dev``:
+        pre-dispatched dispatch_overlap_scores result for this frame."""
         mp = self.cfg["mapping"]
         num = self.window - 2
         n_kf = len(self.keyframe_list)
@@ -691,9 +708,10 @@ class Mapper:
         elif mp["keyframe_selection_method"] == "global":
             sel = list(self.rng.permutation(max(n_kf - 1, 0))[:num])
         else:
-            scores = np.asarray(overlap_scores(
-                self.ms, self.store.est_c2w_padded(), jnp.asarray(n_kf - 1),
-                cur_c2w, gt_color, gt_depth, self._next_key()))
+            if scores_dev is None:
+                scores_dev = self.dispatch_overlap_scores(
+                    cur_c2w, gt_color, gt_depth)
+            scores = np.asarray(scores_dev)
             qualifying = [k for k in range(n_kf - 1) if scores[k] > 0.0]
             sel = list(self.rng.permutation(qualifying)[:num])
         sel = [int(s) for s in sel] + [n_kf - 1]
@@ -780,10 +798,11 @@ class Mapper:
                 self.index = pc.insert_index(
                     self.cloud, self.index, n_before,
                     m=self.ms.grad_max * self.ms.n_add)
-            # one host fetch for all densification counters (tunnel RTTs)
-            nvals = np.asarray(jnp.stack([n1, n2, self.cloud.n_points]))
-            n_acc_total = int(nvals[0] + nvals[1])
-            self.n_points_host = int(nvals[2])
+            # densification counters: stacked on device here, fetched only
+            # AFTER the frustum mask and overlap scores are dispatched so
+            # the fetch's tunnel RTT overlaps their device compute instead
+            # of serializing in front of it
+            nvals_dev = jnp.stack([n1, n2, self.cloud.n_points])
 
         # ---- frustum feature selection (gradient mask,
         # src/Mapper.py:120-168,342-356; kept full-buffer — see the
@@ -797,6 +816,16 @@ class Mapper:
                 self.ms.frustum_edge)
         else:
             frustum = jnp.arange(cap) < self.cloud.n_points
+
+        # ---- window-selection overlap scores (dispatch, no sync; key draw
+        # order matches the old in-select draw: first key after densify)
+        scores_dev = self.dispatch_overlap_scores(cur_c2w_dev, color_dev,
+                                                  depth_dev)
+
+        if not color_refine:
+            nvals = np.asarray(nvals_dev)
+            n_acc_total = int(nvals[0] + nvals[1])
+            self.n_points_host = int(nvals[2])
 
         # ---- iteration budget (src/Mapper.py:404-406,713-726)
         if init:
@@ -834,7 +863,9 @@ class Mapper:
         outer_iters = 5 if color_refine else 1
         stats = np.zeros(3)
         for outer in range(outer_iters):
-            sel = self.select_keyframes(cur_c2w_dev, color_dev, depth_dev)
+            sel = self.select_keyframes(
+                cur_c2w_dev, color_dev, depth_dev,
+                scores_dev=scores_dev if outer == 0 else None)
             n_frames = len(sel) + 1
             if mp["save_selected_keyframes_info"] and outer == 0:
                 self.selected_keyframes[idx] = [

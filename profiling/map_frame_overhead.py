@@ -137,4 +137,37 @@ m_ins = ms.add_max * ms.n_add
 bench("insert_index (54k batch)    ", pc.insert_index, mapper.cloud,
       mapper.index, mapper.cloud.n_points - jnp.asarray(100, jnp.int32),
       m_ins)
+
+# END-TO-END overhead (VERDICT r4 #6 done-criterion): full map_frame with a
+# near-zero iteration budget, so wall-clock ~= everything OUTSIDE the
+# optimization loop as production actually serializes it (densify chain +
+# counter fetch + frustum + selection + window gather/decode + launch),
+# including the host-sync overlaps map_frame orders for. iters=2 with
+# min_iter_ratio pins n_iters to ~2; subtract the 2 iterations at the
+# iter_breakdown rate to taste (~28 ms).
+cfg["mapping"].update({"iters": 2, "min_iter_ratio": 1.0})
+mapper2 = Mapper(cfg, D.init_decoders(jax.random.key(0), cfg), 100,
+                 np.random.default_rng(0))
+mapper2.cloud = mapper2.cloud._replace(
+    packed=mapper2.cloud.packed.at[:, pc.POS_SL].set(jnp.asarray(pos)),
+    n_points=jnp.asarray(NPTS, jnp.int32))
+mapper2.n_points_host = NPTS
+mapper2.index = pc.build_index(mapper2.cloud, mapper2.cell_size,
+                               mapper2.table_size, mapper2.max_per_cell,
+                               mapper2.packed_coords)
+for i in range(12):
+    mapper2.store.append(cd, dd, np.asarray(c2w), np.asarray(c2w),
+                         mapper2.exposure_feat)
+    mapper2.keyframe_list.append(i * 5)
+color_np, depth_np = np.asarray(color), np.asarray(depth)
+c2w_np = np.asarray(c2w)
+mapper2.map_frame(5, color_np, depth_np, c2w_np, c2w_np, radius=radius)
+np.asarray(mapper2.cloud.packed.ravel()[:1])   # drain
+t0 = time.time()
+M = 5
+for _ in range(M):
+    mapper2.map_frame(5, color_np, depth_np, c2w_np, c2w_np, radius=radius)
+    np.asarray(mapper2.cloud.packed.ravel()[:1])
+print(f"map_frame e2e (iters~2)     : {(time.time()-t0)/M*1e3:8.1f} ms",
+      flush=True)
 print("done")

@@ -42,6 +42,7 @@ step() {  # step <name> <timeout_s> <cmd...>
 }
 
 cd /root/repo
+step overhead 1800 python profiling/map_frame_overhead.py
 step bench1 3600 python bench.py
 step bench2 3600 python bench.py
 step bench3 3600 python bench.py
