@@ -292,16 +292,40 @@ def main():
                        **({"compiles": compiles[:3]} if compiles else {})})
         log(f"STALL frame {r['idx']}: {r['wall']:.2f}s "
             f"({r['wall'] / p50:.0f}x p50) cause={cause}")
-    # windows deviating >10% from the median carry their stall frames
+    # per-window kind-p50s: a tunnel-throughput sag slows EVERY frame in a
+    # window without any single frame tripping the 3x stall rule (observed:
+    # tracked p50 0.165 -> 0.204 across one whole bench followed by a hard
+    # wedge). Report them so window-level drift is attributable.
+    win_stats = []
+    for wi in range(N_WINDOWS):
+        chunk = frame_wall[wi * WINDOW_FRAMES:(wi + 1) * WINDOW_FRAMES]
+        tr = [r["wall"] for r in chunk if not r["mapped"]]
+        mp_ = [r["wall"] for r in chunk if r["mapped"]]
+        win_stats.append({
+            "tracked_p50_s": round(_pctl(tr, 50), 3) if tr else None,
+            "mapped_p50_s": round(_pctl(mp_, 50), 3) if mp_ else None})
+
+    # windows deviating >10% from the median carry their stall frames, or a
+    # link-drift classification when every frame sagged together
     window_notes = []
+    best_tp50 = min((w["tracked_p50_s"] for w in win_stats
+                     if w["tracked_p50_s"]), default=None)
     for wi, wf in enumerate(window_fps):
         if abs(wf - fps) > 0.10 * fps:
             lo = WARMUP_FRAMES + wi * WINDOW_FRAMES
             hi = lo + WINDOW_FRAMES
-            window_notes.append({
-                "window": wi, "fps": round(wf, 4),
-                "stall_frames": [s["frame"] for s in stalls
-                                 if lo <= s["frame"] < hi] or "unexplained"})
+            frames = [s["frame"] for s in stalls if lo <= s["frame"] < hi]
+            note = {"window": wi, "fps": round(wf, 4)}
+            tp50 = win_stats[wi]["tracked_p50_s"]
+            if frames:
+                note["stall_frames"] = frames
+            elif (wf < fps and best_tp50 and tp50
+                  and tp50 > 1.15 * best_tp50):
+                note["cause"] = (f"link-drift: window tracked p50 {tp50}s vs "
+                                 f"best window {best_tp50}s")
+            else:
+                note["stall_frames"] = "unexplained"
+            window_notes.append(note)
 
     from point_slam_tpu.tools.eval_ate import evaluate_ate
     ate = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list, align=False)
@@ -318,6 +342,7 @@ def main():
         "fps_windows": [round(f, 4) for f in window_fps],
         "tracked_frames": _frame_stats(track_times),
         "mapped_frames": _frame_stats(map_times),
+        "window_kind_p50s": win_stats,
         "stalls": stalls,
         "window_anomalies": window_notes,
         "n_compile_events_measured": len(
