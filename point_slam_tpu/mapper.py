@@ -823,7 +823,15 @@ class Mapper:
                                                   depth_dev)
 
         if not color_refine:
-            nvals = np.asarray(nvals_dev)
+            if scores_dev is not None:
+                # ONE host fetch for counters + overlap scores (each
+                # np.asarray sync is a tunnel round-trip; the counts are
+                # exact in f32 — point_capacity_max 2^22 << 2^24)
+                fused = np.asarray(jnp.concatenate(
+                    [nvals_dev.astype(jnp.float32), scores_dev]))
+                nvals, scores_dev = fused[:3], fused[3:]
+            else:
+                nvals = np.asarray(nvals_dev)
             n_acc_total = int(nvals[0] + nvals[1])
             self.n_points_host = int(nvals[2])
 
