@@ -269,6 +269,14 @@ class PointSLAM:
                     from point_slam_tpu.utils.logger import save_checkpoint
                     save_checkpoint(os.path.join(
                         self.output, "ckpts", f"{idx:05d}.npz"), self, idx)
+                # periodic surface-cloud dump every 300 mapped-frame indices
+                # (src/Mapper.py:756-763 dumps at idx%300==0 too, not just
+                # the final frame)
+                if idx > 0 and idx % 300 == 0 and idx != n - 1:
+                    try:
+                        self._dump_point_cloud(suffix=f"_{idx:05d}")
+                    except Exception as e:  # pragma: no cover
+                        print("point cloud dump failed:", e)
             elif res.get("tracked"):
                 panel = self.track_vis.vis(
                     idx, self.tracker.iters - 1,
@@ -280,23 +288,7 @@ class PointSLAM:
         # final point-cloud artifacts (src/Mapper.py:756-772): surface input
         # points with rgb as npy+ply, neural point positions as npy
         try:
-            m = self.mapper
-            ni = int(m.cloud.n_inputs)
-            npts = m.n_points_host
-            cloud_pos = np.asarray(m.cloud.input_pos[:ni])
-            cloud_rgb = np.asarray(m.cloud.input_rgb[:ni])
-            np.save(os.path.join(self.output, "final_point_cloud"),
-                    np.hstack([cloud_pos, cloud_rgb]))
-            np.save(os.path.join(self.output, "npc_cloud"),
-                    np.asarray(m.cloud.pos[:npts]))
-            from point_slam_tpu.utils.ply import write_ply
-            write_ply(os.path.join(self.output, "final_point_cloud.ply"),
-                      cloud_pos, colors=cloud_rgb / 255.0)
-            # mirror the final cloud to the metrics sink (the reference's
-            # wandb.Object3D dump, src/Mapper.py:770-772)
-            self.mlog.log_points("input_pc", cloud_pos, cloud_rgb, step=n - 1)
-            self.mlog.log({"final_point_cloud_ply": os.path.join(
-                self.output, "final_point_cloud.ply")})
+            self._dump_point_cloud(suffix="", log_points_step=n - 1)
         except Exception as e:  # pragma: no cover
             print("point cloud dump failed:", e)
 
@@ -310,3 +302,27 @@ class PointSLAM:
             "estimate_c2w_list": self.estimate_c2w_list[:n],
             "gt_c2w_list": self.gt_c2w_list[:n],
         }
+
+    def _dump_point_cloud(self, suffix: str = "",
+                          log_points_step: int = -1) -> None:
+        """Surface input points w/ rgb as npy+ply + neural point positions
+        as npy (src/Mapper.py:756-772; the reference fires this every 300
+        frames and at the end)."""
+        m = self.mapper
+        ni = int(m.cloud.n_inputs)
+        npts = m.n_points_host
+        cloud_pos = np.asarray(m.cloud.input_pos[:ni])
+        cloud_rgb = np.asarray(m.cloud.input_rgb[:ni])
+        np.save(os.path.join(self.output, f"final_point_cloud{suffix}"),
+                np.hstack([cloud_pos, cloud_rgb]))
+        np.save(os.path.join(self.output, f"npc_cloud{suffix}"),
+                np.asarray(m.cloud.pos[:npts]))
+        from point_slam_tpu.utils.ply import write_ply
+        ply_path = os.path.join(self.output, f"final_point_cloud{suffix}.ply")
+        write_ply(ply_path, cloud_pos, colors=cloud_rgb / 255.0)
+        if log_points_step >= 0:
+            # mirror the final cloud to the metrics sink (the reference's
+            # wandb.Object3D dump, src/Mapper.py:770-772)
+            self.mlog.log_points("input_pc", cloud_pos, cloud_rgb,
+                                 step=log_points_step)
+            self.mlog.log({"final_point_cloud_ply": ply_path})

@@ -63,14 +63,19 @@ def eval_reconstruction(slam, cfg, mesh_path: str, out_dir: str
 
 
 def rerender_frames(slam, out_dir: str, save_renders: bool = True,
-                    eval_img: Optional[bool] = None) -> Dict[str, Any]:
+                    eval_img: Optional[bool] = None,
+                    stride: int = 1) -> Dict[str, Any]:
     """Re-render every mapped frame from the final map (src/Mapper.py:816-899).
 
     Returns averaged metrics; saves depth/color npy pairs for TSDF fusion.
+    `stride` > 1 evaluates every stride-th mapped frame instead of all of
+    them (used by the at-scale soak eval to bound device time at 1000+
+    mapped frames); the reported metrics note the subsample via frame_cnt.
     """
     cfg = slam.cfg
     mapper = slam.mapper
     every = cfg["mapping"]["every_frame"]
+    step = every * max(int(stride), 1)
     if eval_img is None:
         eval_img = cfg["rendering"]["eval_img"]
     rend_dir = os.path.join(out_dir, "rendered_every_frame")
@@ -88,7 +93,7 @@ def rerender_frames(slam, out_dir: str, save_renders: bool = True,
     frame_cnt = 0
     n = len(slam.estimate_c2w_list)
     key = jax.random.key(0)
-    for idx in range(0, n, every):
+    for idx in range(0, n, step):
         _, gt_color, gt_depth, _ = slam.dataset[idx]
         c2w = jnp.asarray(slam.estimate_c2w_list[idx])
         _, r_query, _, _ = mapper.radius_maps(jnp.asarray(gt_color))
@@ -121,6 +126,8 @@ def rerender_frames(slam, out_dir: str, save_renders: bool = True,
                 lpips_sum += lp
                 lpips_n += 1
         frame_cnt += 1
+        if slam.cfg.get("verbose") and frame_cnt % 25 == 0:
+            print(f"  [rerender] {frame_cnt} frames (idx {idx})", flush=True)
 
     out: Dict[str, Any] = {"frame_cnt": frame_cnt,
                            "depth_l1_render": depth_l1 / max(frame_cnt, 1)}

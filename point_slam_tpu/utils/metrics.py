@@ -83,12 +83,15 @@ def _avg_pool2(x):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("data_range",))
-def _ms_ssim_jit(img, ref, data_range=1.0):
+@functools.partial(jax.jit, static_argnames=("data_range", "levels"))
+def _ms_ssim_jit(img, ref, data_range=1.0, levels=5):
     x = jnp.transpose(img, (2, 0, 1))[None].astype(jnp.float32)
     y = jnp.transpose(ref, (2, 0, 1))[None].astype(jnp.float32)
     win = _gaussian_window()
-    levels = _MSSSIM_WEIGHTS.shape[0]
+    # fewer-than-5 levels (small images): renormalize the Wang weights so
+    # the exponents still sum to 1
+    w = _MSSSIM_WEIGHTS[:levels]
+    w = w / w.sum()
     mcs = []
     ssim_val = 0.0
     for i in range(levels):
@@ -97,15 +100,29 @@ def _ms_ssim_jit(img, ref, data_range=1.0):
             mcs.append(jnp.maximum(cs, 0.0))
             x = _avg_pool2(x)
             y = _avg_pool2(y)
-    val = jnp.prod(jnp.stack(
-        [m ** w for m, w in zip(mcs, _MSSSIM_WEIGHTS[:-1])]))
-    return val * jnp.maximum(ssim_val, 0.0) ** _MSSSIM_WEIGHTS[-1]
+    if mcs:
+        val = jnp.prod(jnp.stack([m ** wi for m, wi in zip(mcs, w[:-1])]))
+    else:
+        val = 1.0
+    return val * jnp.maximum(ssim_val, 0.0) ** w[-1]
 
 
 def ms_ssim(img: jnp.ndarray, ref: jnp.ndarray, data_range=1.0) -> float:
-    """img/ref: (H,W,C) in [0, data_range]. Returns scalar MS-SSIM."""
-    return float(_ms_ssim_jit(jnp.asarray(img), jnp.asarray(ref),
-                              data_range=data_range))
+    """img/ref: (H,W,C) in [0, data_range]. Returns scalar MS-SSIM.
+
+    Uses the full 5-scale Wang construction when the image supports it
+    (min side >= 11 * 2^4 = 176 px, matching pytorch_msssim's validity
+    bound); smaller images drop scales (weights renormalized) instead of
+    producing NaN from an empty VALID window."""
+    img = jnp.asarray(img)
+    k = 11
+    min_side = min(int(img.shape[0]), int(img.shape[1]))
+    levels = 1
+    while levels < int(_MSSSIM_WEIGHTS.shape[0]) and \
+            (min_side >> levels) >= k:
+        levels += 1
+    return float(_ms_ssim_jit(img, jnp.asarray(ref),
+                              data_range=data_range, levels=levels))
 
 
 _LPIPS_CACHE = {}

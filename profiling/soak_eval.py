@@ -9,7 +9,11 @@ and record device memory stats at scale. Writes render_metrics.json,
 mesh/recon_eval.json and eval_memory.json into the run dir — the inputs
 profiling/soak_summary.py aggregates.
 
-Usage: python profiling/soak_eval.py <run_dir>
+Usage: python profiling/soak_eval.py <run_dir> [render_stride]
+
+render_stride (default 1) evaluates every stride-th mapped frame; at 1000
+mapped frames a full sweep costs ~1 h of device time, so the queued soak
+eval uses a stride and records it in render_metrics.json.
 """
 import glob
 import json
@@ -38,9 +42,9 @@ def main():
                                                eval_reconstruction)
     from point_slam_tpu.tools.mesher import mesh_from_renders
 
-    cfg = load_config(
-        os.path.join(HERE, "configs", "Synthetic", "room_scannet_scale.yaml"),
-        os.path.join(HERE, "configs", "point_slam.yaml"))
+    cfg_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        HERE, "configs", "Synthetic", "room_scannet_scale.yaml")
+    cfg = load_config(cfg_path, os.path.join(HERE, "configs", "point_slam.yaml"))
     cfg["verbose"] = True
     slam = PointSLAM(cfg, output=run)
     ckpts = sorted(glob.glob(os.path.join(run, "ckpts", "*.npz")))
@@ -61,8 +65,11 @@ def main():
           f"{len(slam.mapper.color_decoder_snapshots)} color snapshots, "
           f"{len(slam.mapper.exposure_feat_all)} exposure feats", flush=True)
 
-    rr = rerender_frames(slam, run, save_renders=True, eval_img=True)
+    stride = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    rr = rerender_frames(slam, run, save_renders=True, eval_img=True,
+                         stride=stride)
     rr = {k: (float(v) if v is not None else None) for k, v in rr.items()}
+    rr["render_stride"] = stride
     with open(os.path.join(run, "render_metrics.json"), "w") as f:
         json.dump(rr, f, indent=1)
     print("render_metrics:", rr, flush=True)

@@ -56,11 +56,9 @@ def main():
     gt = z["gt_c2w_list"]
     n_img = len(est)
 
-    from point_slam_tpu.tools.eval_ate import evaluate_ate, convert_poses
-    fin = np.isfinite(gt.reshape(n_img, -1)).all(1)
-    p_est, p_gt = convert_poses(est[fin], gt[fin])
-    ate = evaluate_ate(p_gt, p_est, align=True)
-    ate_na = evaluate_ate(p_gt, p_est, align=False)
+    from point_slam_tpu.tools.eval_ate import evaluate_ate
+    ate = evaluate_ate(gt, est, align=True)
+    ate_na = evaluate_ate(gt, est, align=False)
 
     # per-kind frame timing from metrics.jsonl
     metrics_path = os.path.join(run, "metrics.jsonl")

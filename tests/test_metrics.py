@@ -115,3 +115,16 @@ def test_psnr_and_ms_ssim_basics():
     assert M.ms_ssim(a, a) == pytest.approx(1.0, abs=1e-4)
     noisy = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
     assert M.ms_ssim(a, noisy) < 0.999
+
+
+def test_ms_ssim_small_image_drops_scales():
+    # below 176 px the 5-scale pyramid would hit an empty VALID window
+    # (NaN); scales are dropped and weights renormalized instead
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0, 1, (120, 160, 3)).astype(np.float32)
+    noisy = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+    same = M.ms_ssim(a, a)
+    worse = M.ms_ssim(a, noisy)
+    assert np.isfinite(same) and np.isfinite(worse)
+    assert same == pytest.approx(1.0, abs=1e-4)
+    assert worse < same

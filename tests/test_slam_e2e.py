@@ -51,6 +51,20 @@ def test_runs_all_frames(slam_run):
     assert summary["keyframes"] == [0, 4, 8, 10]
 
 
+def test_point_cloud_dumps(slam_run):
+    """Final surface-cloud artifacts exist (src/Mapper.py:756-772), and the
+    periodic (every-300-frames) dump path writes suffixed files."""
+    slam, _ = slam_run
+    out = slam.output
+    assert os.path.exists(os.path.join(out, "final_point_cloud.ply"))
+    assert os.path.exists(os.path.join(out, "final_point_cloud.npy"))
+    assert os.path.exists(os.path.join(out, "npc_cloud.npy"))
+    slam._dump_point_cloud(suffix="_00300")
+    assert os.path.exists(os.path.join(out, "final_point_cloud_00300.ply"))
+    pc = np.load(os.path.join(out, "final_point_cloud_00300.npy"))
+    assert pc.shape[1] == 6 and np.isfinite(pc).all()
+
+
 def test_tracking_stays_on_trajectory(slam_run):
     slam, summary = slam_run
     ate = evaluate_ate(summary["gt_c2w_list"], summary["estimate_c2w_list"],
