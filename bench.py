@@ -327,6 +327,16 @@ def main():
                 note["stall_frames"] = "unexplained"
             window_notes.append(note)
 
+    # post-measurement capacity accounting: the measured region pins
+    # point_capacity_init to avoid growth-recompiles, but Adam traffic and
+    # grad-zeros scale with CAP — record live vs padded so capacity A/Bs
+    # (BENCH_TPU_OVERRIDES={"point_capacity_init": ...}) can be sized.
+    n_pts_final = int(slam.mapper.n_points_host)
+    n_inputs_final = int(slam.mapper.cloud.n_inputs)
+    cap_final = int(slam.mapper.cloud.pos.shape[0])
+    log(f"final cloud: {n_pts_final} neural points / {n_inputs_final} "
+        f"input points, capacity {cap_final}")
+
     from point_slam_tpu.tools.eval_ate import evaluate_ate
     ate = evaluate_ate(slam.gt_c2w_list, slam.estimate_c2w_list, align=False)
     log(f"trajectory ATE (no align): "
@@ -349,6 +359,8 @@ def main():
             [1 for te, _ in compile_events
              if t_measure_start and te >= t_measure_start]),
         "n_measured_frames": n_measured,
+        "n_points_final": n_pts_final,
+        "point_capacity": cap_final,
         "ate_rmse_noalign_cm": round(
             ate["absolute_translational_error.rmse"] * 100, 3),
     }), flush=True)
