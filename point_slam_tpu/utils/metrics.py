@@ -89,9 +89,12 @@ def _ms_ssim_jit(img, ref, data_range=1.0, levels=5):
     y = jnp.transpose(ref, (2, 0, 1))[None].astype(jnp.float32)
     win = _gaussian_window()
     # fewer-than-5 levels (small images): renormalize the Wang weights so
-    # the exponents still sum to 1
+    # the exponents still sum to 1. At the full 5 levels keep the raw
+    # weights — they sum to 1.0001 and pytorch_msssim uses them verbatim,
+    # so renormalizing would shift full-size values off the standard.
     w = _MSSSIM_WEIGHTS[:levels]
-    w = w / w.sum()
+    if levels < int(_MSSSIM_WEIGHTS.shape[0]):
+        w = w / w.sum()
     mcs = []
     ssim_val = 0.0
     for i in range(levels):
