@@ -88,12 +88,23 @@ class TSDFVolume:
             self.color = self.color.at[start:start + size].set(c)
 
     def extract_mesh(self, min_component_verts: Optional[int] = None):
-        """Marching-tets over observed voxels. Returns (verts, faces, colors)."""
+        """Marching-tets over observed voxels. Returns (verts, faces, colors).
+
+        The grids cross the (slow, ~50 MB/s remote-TPU) link wire-format:
+        tsdf is a weighted mean in [-1, 1] -> i16 (max vertex error
+        trunc/32767, micrometers); weight is consumed only as >0 validity
+        -> u8; color is a weighted mean in [0, 1] -> u8 (exactly the PLY
+        output precision). 20 bytes/voxel -> 6, i.e. 3.8 GB -> 1.1 GB at a
+        ScanNet-scale 190M-voxel grid.
+        """
         from point_slam_tpu.tools.marching import (
             connected_components_filter, marching_tetrahedra)
-        sdf = np.asarray(self.tsdf).reshape(self.dims)
-        wgt = np.asarray(self.weight).reshape(self.dims)
-        col = np.asarray(self.color).reshape(self.dims + (3,))
+        sdf16, wgt8, col8 = _wire_grids(self.tsdf, self.weight, self.color)
+        sdf = (np.asarray(sdf16).astype(np.float32) / 32767.0) \
+            .reshape(self.dims)
+        wgt = np.asarray(wgt8).reshape(self.dims)
+        col = (np.asarray(col8).astype(np.float32) / 255.0) \
+            .reshape(self.dims + (3,))
         verts, faces, vcols = marching_tetrahedra(
             sdf, 0.0, self.origin, self.voxel, weight=wgt, color=col)
         if min_component_verts and len(verts):
@@ -102,6 +113,15 @@ class TSDFVolume:
             if vcols is not None:
                 vcols = vcols[keep]
         return verts, faces, vcols
+
+
+@jax.jit
+def _wire_grids(tsdf, weight, color):
+    """Quantize the fused grids for the host fetch (see extract_mesh)."""
+    sdf16 = jnp.round(jnp.clip(tsdf, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    wgt8 = (weight > 0).astype(jnp.uint8)
+    col8 = jnp.round(jnp.clip(color, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return sdf16, wgt8, col8
 
 
 @jax.jit
