@@ -87,7 +87,18 @@ class PointSLAM:
 
         self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
         self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
-        self.timing: Dict[str, float] = {"track": 0.0, "map": 0.0, "io": 0.0}
+        # Wall-clock attribution (VERDICT r4 #6: wall_active must ≈ Σ phases).
+        # Main-thread buckets (disjoint, sum to wall_active up to `other`):
+        #   track/map  — the two optimization phases
+        #   wait       — blocked on the prefetch worker (host/data starvation)
+        #   log        — visualizer panels, metrics sink, ckpt saves, dumps
+        #   io         — direct dataset[] fetches on the main thread (frame 0)
+        #   other      — measured per-frame remainder (pose writes, python)
+        # Worker-side counters (OVERLAPPED with device compute, reported
+        # separately, not part of the wall sum): prefetch_fetch/prefetch_stage.
+        self.timing: Dict[str, float] = {
+            "track": 0.0, "map": 0.0, "io": 0.0, "wait": 0.0, "log": 0.0,
+            "other": 0.0}
 
         from point_slam_tpu.utils.mlog import MetricsLogger
         self.mlog = MetricsLogger(self.output, cfg,
@@ -158,6 +169,7 @@ class PointSLAM:
 
     def _run(self, stop: Optional[int] = None, progress: bool = True,
              resume_from: Optional[str] = None) -> Dict[str, Any]:
+        t_run0 = time.perf_counter()
         cfg = self.cfg
         n = self.n_img if stop is None else min(stop + 1, self.n_img)
         every = cfg["mapping"]["every_frame"]
@@ -208,7 +220,17 @@ class PointSLAM:
         prefetcher = FramePrefetcher(
             self.dataset, depth=int(cfg["tpu"].get("prefetch_depth", 4)),
             start=start, stop=n, stage=_stage, fetch=self.dataset.wire)
-        for frame_idx, color, depth, radius, gt_c2w in prefetcher:
+        tm = self.timing
+        pf_iter = iter(prefetcher)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                frame_idx, color, depth, radius, gt_c2w = next(pf_iter)
+            except StopIteration:
+                break
+            tm["wait"] += time.perf_counter() - t0
+            t_frame0 = time.perf_counter()
+            acc0 = tm["track"] + tm["map"] + tm["log"]
             idx = int(frame_idx)
             self.gt_c2w_list[idx] = gt_c2w
             ef = 1 if (lazy and idx <= lazy) else every
@@ -227,15 +249,17 @@ class PointSLAM:
                 idx, color, depth, gt_c2w, self.estimate_c2w_list,
                 self.mapper, r_query,
                 exposure_feat=self.mapper.exposure_feat)
-            self.timing["track"] += time.perf_counter() - t0
+            tm["track"] += time.perf_counter() - t0
             self.estimate_c2w_list[idx] = res["c2w"]
             if res.get("tracked"):
                 if self.verbose:
                     print(f"[track] frame {idx}: loss "
                           f"{res['first_loss']:.2f}->{res['best_loss']:.2f}")
+                t0 = time.perf_counter()
                 self.mlog.log({"idx_track": idx,
                                "track_first_loss": res["first_loss"],
                                "track_best_loss": res["best_loss"]})
+                tm["log"] += time.perf_counter() - t0
 
             if idx % ef == 0 or idx == n - 1:
                 refine = color_refine and idx == n - 1 and idx == self.n_img - 1
@@ -244,7 +268,7 @@ class PointSLAM:
                                            self.estimate_c2w_list[idx],
                                            color_refine=refine,
                                            radius=radius)
-                self.timing["map"] += time.perf_counter() - t0
+                tm["map"] += time.perf_counter() - t0
                 # BA refines the current pose during mapping (Mapper.py:735-737)
                 self.estimate_c2w_list[idx] = st["cur_c2w"]
                 if self.verbose:
@@ -252,6 +276,7 @@ class PointSLAM:
                           f"{st['n_iters']} iters, geo {st['geo_loss']:.3f}, "
                           f"col {st['color_loss']:.3f}, "
                           f"pts {st['n_points']}")
+                t0 = time.perf_counter()
                 self.mlog.log({"idx_map": idx, **{k: v for k, v in st.items()
                                                   if k != "cur_c2w"}})
                 # with vis_inside the end-of-frame panel is redundant
@@ -269,31 +294,49 @@ class PointSLAM:
                     from point_slam_tpu.utils.logger import save_checkpoint
                     save_checkpoint(os.path.join(
                         self.output, "ckpts", f"{idx:05d}.npz"), self, idx)
-                # periodic surface-cloud dump every 300 mapped-frame indices
-                # (src/Mapper.py:756-763 dumps at idx%300==0 too, not just
-                # the final frame)
+                # periodic Object3D mirror every 300 mapped-frame indices
+                # (src/Mapper.py:756-763: wandb log only; the npy/ply files
+                # are written solely at the final frame)
                 if idx > 0 and idx % 300 == 0 and idx != n - 1:
                     try:
-                        self._dump_point_cloud(suffix=f"_{idx:05d}")
+                        self._dump_point_cloud(log_points_step=idx,
+                                               write_files=False)
                     except Exception as e:  # pragma: no cover
                         print("point cloud dump failed:", e)
+                tm["log"] += time.perf_counter() - t0
             elif res.get("tracked"):
+                t0 = time.perf_counter()
                 panel = self.track_vis.vis(
                     idx, self.tracker.iters - 1,
                     self.tracker.iters, self.mapper,
                     self.estimate_c2w_list[idx], depth, color,
                     r_query=r_query)
                 self.mlog.log_image("tracking_vis", panel, step=idx)
+                tm["log"] += time.perf_counter() - t0
+            # per-frame remainder (pose writes, python glue) so the
+            # breakdown sums: frame wall - (track+map+log this frame)
+            tm["other"] += (time.perf_counter() - t_frame0
+                            - (tm["track"] + tm["map"] + tm["log"] - acc0))
 
         # final point-cloud artifacts (src/Mapper.py:756-772): surface input
         # points with rgb as npy+ply, neural point positions as npy
+        t0 = time.perf_counter()
         try:
-            self._dump_point_cloud(suffix="", log_points_step=n - 1)
+            self._dump_point_cloud(log_points_step=n - 1)
         except Exception as e:  # pragma: no cover
             print("point cloud dump failed:", e)
+        tm["log"] += time.perf_counter() - t0
 
+        # worker-side I/O counters (overlapped with device compute — NOT a
+        # wall_active component; they attribute what the `wait` bucket was
+        # blocked on when nonzero)
+        tm["prefetch_fetch"] = getattr(prefetcher, "time_fetch", 0.0)
+        tm["prefetch_stage"] = getattr(prefetcher, "time_stage", 0.0)
+        tm["wall_active"] = time.perf_counter() - t_run0
+        from point_slam_tpu.utils.memory import memory_report
         self.mlog.log({"final_n_points": self.mapper.n_points_host,
-                       **{f"time_{k}": v for k, v in self.timing.items()}})
+                       **{f"time_{k}": v for k, v in self.timing.items()},
+                       **{f"mem_{k}": v for k, v in memory_report().items()}})
         return {
             "n_frames": n,
             "n_points": self.mapper.n_points_host,
@@ -303,26 +346,29 @@ class PointSLAM:
             "gt_c2w_list": self.gt_c2w_list[:n],
         }
 
-    def _dump_point_cloud(self, suffix: str = "",
-                          log_points_step: int = -1) -> None:
-        """Surface input points w/ rgb as npy+ply + neural point positions
-        as npy (src/Mapper.py:756-772; the reference fires this every 300
-        frames and at the end)."""
+    def _dump_point_cloud(self, log_points_step: int = -1,
+                          write_files: bool = True) -> None:
+        """Point-cloud dump (src/Mapper.py:756-772 parity): the reference
+        logs a wandb Object3D of the surface input points at every
+        idx%300==0 mapped frame, and writes the final_point_cloud npy/ply
+        files ONLY at the last frame. Periodic callers therefore pass
+        write_files=False (metrics-sink mirror only); the end-of-run caller
+        writes the files too."""
         m = self.mapper
         ni = int(m.cloud.n_inputs)
         npts = m.n_points_host
         cloud_pos = np.asarray(m.cloud.input_pos[:ni])
         cloud_rgb = np.asarray(m.cloud.input_rgb[:ni])
-        np.save(os.path.join(self.output, f"final_point_cloud{suffix}"),
-                np.hstack([cloud_pos, cloud_rgb]))
-        np.save(os.path.join(self.output, f"npc_cloud{suffix}"),
-                np.asarray(m.cloud.pos[:npts]))
-        from point_slam_tpu.utils.ply import write_ply
-        ply_path = os.path.join(self.output, f"final_point_cloud{suffix}.ply")
-        write_ply(ply_path, cloud_pos, colors=cloud_rgb / 255.0)
+        if write_files:
+            np.save(os.path.join(self.output, "final_point_cloud"),
+                    np.hstack([cloud_pos, cloud_rgb]))
+            np.save(os.path.join(self.output, "npc_cloud"),
+                    np.asarray(m.cloud.pos[:npts]))
+            from point_slam_tpu.utils.ply import write_ply
+            ply_path = os.path.join(self.output, "final_point_cloud.ply")
+            write_ply(ply_path, cloud_pos, colors=cloud_rgb / 255.0)
+            self.mlog.log({"final_point_cloud_ply": ply_path})
         if log_points_step >= 0:
-            # mirror the final cloud to the metrics sink (the reference's
-            # wandb.Object3D dump, src/Mapper.py:770-772)
+            # the reference's wandb.Object3D mirror (src/Mapper.py:770-772)
             self.mlog.log_points("input_pc", cloud_pos, cloud_rgb,
                                  step=log_points_step)
-            self.mlog.log({"final_point_cloud_ply": ply_path})

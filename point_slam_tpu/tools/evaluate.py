@@ -134,7 +134,10 @@ def rerender_frames(slam, out_dir: str, save_renders: bool = True,
     if eval_img:
         out["avg_psnr"] = psnr_sum / max(frame_cnt, 1)
         out["avg_ms_ssim"] = ssim_sum / max(frame_cnt, 1)
-        out["avg_lpips"] = (lpips_sum / lpips_n) if lpips_n else None
+        # an explicit reason instead of a silent None when the metric could
+        # not run (no AlexNet weights in a zero-egress image)
+        out["avg_lpips"] = ((lpips_sum / lpips_n) if lpips_n
+                            else metrics.LPIPS_UNAVAILABLE)
     return out
 
 

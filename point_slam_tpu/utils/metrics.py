@@ -114,12 +114,23 @@ def ms_ssim(img: jnp.ndarray, ref: jnp.ndarray, data_range=1.0) -> float:
     """img/ref: (H,W,C) in [0, data_range]. Returns scalar MS-SSIM.
 
     Uses the full 5-scale Wang construction when the image supports it
-    (min side >= 11 * 2^4 = 176 px, matching pytorch_msssim's validity
-    bound); smaller images drop scales (weights renormalized) instead of
-    producing NaN from an empty VALID window."""
+    (min side >= 11 * 2^4 = 176 px); smaller images drop scales (weights
+    renormalized) instead of producing NaN from an empty VALID window.
+
+    Divergence note vs pytorch_msssim for min side in [161, 175]: its
+    ceil-mode avg_pool keeps 5 levels valid down to 161 px, whereas the
+    floor-mode pooling here drops to 4 renormalized levels — values in that
+    band are self-consistent but not comparable to the pytorch_msssim
+    number. At >= 176 px (every production resolution) the two agree.
+    Images with min side < 11 cannot support even one 11-px VALID window
+    and raise."""
     img = jnp.asarray(img)
     k = 11
     min_side = min(int(img.shape[0]), int(img.shape[1]))
+    if min_side < k:
+        raise ValueError(
+            f"ms_ssim needs min(H, W) >= {k} (got {min_side}): one 11x11 "
+            "VALID gaussian window must fit at the finest scale")
     levels = 1
     while levels < int(_MSSSIM_WEIGHTS.shape[0]) and \
             (min_side >> levels) >= k:
@@ -204,6 +215,18 @@ def _load_lpips_params() -> Optional[dict]:
             params = {k: jnp.asarray(z[k]) for k in z.files}
     _LPIPS_CACHE["params"] = params
     return params
+
+
+# Human-readable reason emitted by eval outputs when the metric cannot run
+# (VERDICT r4 #8: a silent None reads as "forgot", not "impossible here").
+LPIPS_UNAVAILABLE = ("unavailable: no AlexNet weights in this image — "
+                     "convert them offline with tools/convert_lpips.py and "
+                     "point POINT_SLAM_LPIPS_NPZ at the npz")
+
+
+def lpips_available() -> bool:
+    """True iff a converted weights npz is present (the supported route)."""
+    return _load_lpips_params() is not None
 
 
 def lpips(img: np.ndarray, ref: np.ndarray) -> Optional[float]:

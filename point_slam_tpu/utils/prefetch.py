@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Iterator, Optional, Tuple
 
 
@@ -30,6 +31,10 @@ class FramePrefetcher:
         self.stop_idx = len(dataset) if stop is None else min(stop, len(dataset))
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stage = stage
+        # worker-side wall spent fetching / staging (overlapped with device
+        # compute; attributes the consumer's blocked-on-prefetch time)
+        self.time_fetch = 0.0
+        self.time_stage = 0.0
         self._thread = threading.Thread(
             target=self._worker, args=(start,), daemon=True)
         self._stopped = threading.Event()
@@ -40,9 +45,13 @@ class FramePrefetcher:
             if self._stopped.is_set():
                 return
             try:
+                t0 = time.perf_counter()
                 item = self._fetch(i)
+                t1 = time.perf_counter()
+                self.time_fetch += t1 - t0
                 if self._stage is not None:
                     item = self._stage(item)
+                    self.time_stage += time.perf_counter() - t1
             except Exception as e:  # propagate through the queue
                 self.q.put(("error", e))
                 return

@@ -10,8 +10,17 @@ pipeline, /root/reference/src/Mapper.py:793-931.
 
 Usage:
     python profiling/quality_gate.py [n_frames] [tag]
+    python profiling/quality_gate.py --check     # staleness audit only
     QG_TPU_OVERRIDES='{"mlp_precision": "default"}' \
         python profiling/quality_gate.py 100 mlp_default
+
+Staleness (VERDICT r4 #4): a standing gate certifies the product code of
+the commit it ran at. The script refuses to UPDATE the standing file from
+a dirty tree (QG_ALLOW_DIRTY=1 overrides, for probes only), and
+``--check`` audits every committed output/quality_gate*.json: fails when a
+gate carries a -dirty/unknown tag or when product code (point_slam_tpu/,
+native/, run.py, configs/) changed between its commit and HEAD —
+evidence-only commits (output/, docs, profiling/) don't invalidate a gate.
 
 Gate (round-4 thresholds, from VERDICT r3 task 1): ATE no-align <= 0.4 cm
 at bench scale maps to <= 0.25 cm here; F-score within 0.5 of the standing
@@ -29,9 +38,59 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 
+PRODUCT_PATHS = ["point_slam_tpu", "native", "run.py", "configs"]
+
+
+def check_stale() -> int:
+    """Audit committed gate files for staleness vs HEAD product code."""
+    import glob
+    fails = []
+    for path in sorted(glob.glob(os.path.join(HERE, "output",
+                                              "quality_gate*.json"))):
+        row = json.load(open(path))
+        c = str(row.get("commit", "")).replace("-dirty", "")
+        name = os.path.basename(path)
+        if row.get("commit", "").endswith("-dirty") or c in ("", "unknown"):
+            fails.append(f"{name}: dirty/unknown commit tag "
+                         f"{row.get('commit')!r}")
+            continue
+        r = subprocess.run(
+            ["git", "diff", "--name-only", f"{c}..HEAD", "--",
+             *PRODUCT_PATHS], cwd=HERE, capture_output=True, text=True)
+        if r.returncode != 0:
+            fails.append(f"{name}: unknown commit {c}")
+            continue
+        changed = r.stdout.strip().splitlines()
+        if changed:
+            fails.append(f"{name}: product code changed since {c}: "
+                         f"{changed[:5]}{'...' if len(changed) > 5 else ''}")
+    for f in fails:
+        print("STALE:", f)
+    if not fails:
+        print("all committed gate files certify HEAD product code")
+    return 2 if fails else 0
+
+
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    tag = sys.argv[2] if len(sys.argv) > 2 else ""
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_frames", nargs="?", type=int, default=100)
+    ap.add_argument("tag", nargs="?", default="")
+    ap.add_argument("--check", action="store_true",
+                    help="staleness audit of committed gate files, no run")
+    ap.add_argument("--config",
+                    default="configs/Synthetic/room_furnished.yaml",
+                    help="gate scene config (e.g. room_sensor.yaml for the "
+                         "TUM/ScanNet-shaped standing gate)")
+    ap.add_argument("--standing", action="store_true",
+                    help="with a tag: write quality_gate_<tag>.json as its "
+                         "own STANDING gate (no A/B compare against the "
+                         "main gate)")
+    args = ap.parse_args()
+    if args.check:
+        sys.exit(check_stale())
+    n_frames = args.n_frames
+    tag = args.tag
 
     import jax
     jax.config.update("jax_default_matmul_precision", "highest")  # as run.py
@@ -42,7 +101,7 @@ def main():
     from point_slam_tpu.tools.evaluate import run_end_of_run_eval
 
     cfg = load_config(
-        os.path.join(HERE, "configs", "Synthetic", "room_furnished.yaml"),
+        os.path.join(HERE, args.config),
         os.path.join(HERE, "configs", "point_slam.yaml"))
     cfg["synthetic"]["n_frames"] = n_frames
     overrides = json.loads(os.environ.get("QG_TPU_OVERRIDES", "{}"))
@@ -67,15 +126,22 @@ def main():
                                     text=True).stdout.strip())
     except Exception:
         commit, dirty = "unknown", True
+    if dirty and (not tag or args.standing) \
+            and not os.environ.get("QG_ALLOW_DIRTY"):
+        sys.exit("refusing to update a STANDING gate from a dirty tree "
+                 "(commit first, or set QG_ALLOW_DIRTY=1 / pass a tag for "
+                 "an A/B probe)")
 
     slam = PointSLAM(cfg)
     t0 = time.time()
-    slam.run()
+    summary = slam.run()
     wall = time.time() - t0
     res = run_end_of_run_eval(slam, slam.output)
+    from point_slam_tpu.utils.memory import memory_report
 
     row = {
         "tag": tag or "gate",
+        "config": args.config,
         "commit": commit + ("-dirty" if dirty else ""),
         "backend": jax.default_backend(),
         "n_frames": n_frames,
@@ -93,16 +159,21 @@ def main():
         "lpips": res.get("avg_lpips"),
         "depth_l1_cm": round(
             res.get("depth_l1_render", float("nan")) * 100, 3),
+        "timing_s": {k: round(v, 1) for k, v in summary["timing"].items()},
+        "memory": memory_report(),
     }
     print(json.dumps(row, indent=1), flush=True)
 
     gate_path = os.path.join(HERE, "output", "quality_gate.json")
     if tag:
-        # A/B probe: write next to the gate, never overwrite it
+        # A/B probe (or, with --standing, a second standing gate): write
+        # next to the main gate, never overwrite it
         probe = os.path.join(HERE, "output", f"quality_gate_{tag}.json")
         with open(probe, "w") as f:
             json.dump(row, f, indent=1)
-        if os.path.exists(gate_path):
+        if args.standing:
+            print(f"standing gate updated: {probe}", flush=True)
+        elif os.path.exists(gate_path):
             with open(gate_path) as f:
                 gate = json.load(f)
             ok = (row["ate_noalign_cm"] <= max(0.25, 1.1 * gate[

@@ -68,11 +68,18 @@ def main():
     stride = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     rr = rerender_frames(slam, run, save_renders=True, eval_img=True,
                          stride=stride)
-    rr = {k: (float(v) if v is not None else None) for k, v in rr.items()}
+    rr = {k: (float(v) if isinstance(v, (int, float, np.floating)) else v)
+          for k, v in rr.items()}
     rr["render_stride"] = stride
     with open(os.path.join(run, "render_metrics.json"), "w") as f:
         json.dump(rr, f, indent=1)
     print("render_metrics:", rr, flush=True)
+
+    # capture memory right after the re-render (the cloud + keyframe state
+    # plus render scratch is the at-scale device working set); fall back to
+    # the live-buffer sum where memory_stats() is unsupported (this image)
+    from point_slam_tpu.utils.memory import memory_report
+    mem = dict(memory_report())
 
     mesh_path = os.path.join(run, "mesh", "final_mesh.ply")
     mesh_from_renders(slam, run, mesh_path,
@@ -80,19 +87,19 @@ def main():
     cfg["meshing"]["eval_rec"] = True
     rec = eval_reconstruction(slam, cfg, mesh_path, run)
     rec = {k: float(v) for k, v in rec.items()}
+    # the mesh is fused from only every stride-th mapped frame's renders:
+    # record the fusion subsample next to the F-score so strided runs are
+    # never silently compared against full-fusion ones
+    rec["render_stride"] = stride
+    rec["n_fused_frames"] = int(rr.get("frame_cnt", 0))
     with open(os.path.join(run, "mesh", "recon_eval.json"), "w") as f:
         json.dump(rec, f, indent=1)
     print("recon_eval:", rec, flush=True)
 
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        mem = {k: int(v) for k, v in stats.items()
-               if isinstance(v, (int, np.integer))}
-    except Exception as e:
-        mem = {"error": str(e)}
+    mem.update({f"post_mesh_{k}": v for k, v in memory_report().items()})
     with open(os.path.join(run, "eval_memory.json"), "w") as f:
         json.dump(mem, f, indent=1)
-    print("eval_memory:", {k: mem[k] for k in sorted(mem)[:6]}, flush=True)
+    print("eval_memory:", {k: mem[k] for k in sorted(mem)[:8]}, flush=True)
 
 
 if __name__ == "__main__":

@@ -76,15 +76,23 @@ def main():
     print(f"finished {summary['n_frames']} frames, "
           f"{summary['n_points']} neural points, timing {summary['timing']}")
 
+    import time
     from point_slam_tpu.utils.logger import save_checkpoint
+    t0 = time.perf_counter()
     ckpt_path = os.path.join(out, "ckpts",
                              f"{summary['n_frames'] - 1:05d}.npz")
     save_checkpoint(ckpt_path, slam, idx=summary["n_frames"] - 1)
-    print(f"checkpoint saved to {ckpt_path}")
+    print(f"checkpoint saved to {ckpt_path} "
+          f"({time.perf_counter() - t0:.1f}s)")
+    slam.mlog.log({"time_ckpt_final": time.perf_counter() - t0})
 
     if not args.no_eval:
         from point_slam_tpu.tools.evaluate import run_end_of_run_eval
+        t0 = time.perf_counter()
         run_end_of_run_eval(slam, out)
+        # eval wall goes to the sink so post-run accounting
+        # (soak_summary's final_segment_timing) sums with the SLAM phases
+        slam.mlog.log({"time_eval": time.perf_counter() - t0})
 
 
 if __name__ == "__main__":

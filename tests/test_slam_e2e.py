@@ -52,17 +52,28 @@ def test_runs_all_frames(slam_run):
 
 
 def test_point_cloud_dumps(slam_run):
-    """Final surface-cloud artifacts exist (src/Mapper.py:756-772), and the
-    periodic (every-300-frames) dump path writes suffixed files."""
+    """Final surface-cloud artifacts exist (src/Mapper.py:764-772: files
+    written only at the last frame); the periodic (every-300-frames) path
+    only mirrors an Object3D to the metrics sink (src/Mapper.py:756-763),
+    writing no files."""
     slam, _ = slam_run
     out = slam.output
     assert os.path.exists(os.path.join(out, "final_point_cloud.ply"))
     assert os.path.exists(os.path.join(out, "final_point_cloud.npy"))
     assert os.path.exists(os.path.join(out, "npc_cloud.npy"))
-    slam._dump_point_cloud(suffix="_00300")
-    assert os.path.exists(os.path.join(out, "final_point_cloud_00300.ply"))
-    pc = np.load(os.path.join(out, "final_point_cloud_00300.npy"))
+    pc = np.load(os.path.join(out, "final_point_cloud.npy"))
     assert pc.shape[1] == 6 and np.isfinite(pc).all()
+    before = set(os.listdir(out))
+    logged = []
+    orig = slam.mlog.log_points
+    slam.mlog.log_points = lambda name, pos, col=None, step=None: \
+        logged.append((name, step))
+    try:
+        slam._dump_point_cloud(log_points_step=300, write_files=False)
+    finally:
+        slam.mlog.log_points = orig
+    assert logged == [("input_pc", 300)]
+    assert set(os.listdir(out)) == before  # periodic dump writes NO files
 
 
 def test_tracking_stays_on_trajectory(slam_run):
