@@ -156,8 +156,17 @@ def main():
     })
     cfg["rendering"]["sample_near_pcl"] = False
     # capacity sized so neither the cloud nor the hash table grows during the
-    # measured region (growth = recompile; 41 frames x <=21k pts/map << 2^19)
-    cfg["tpu"].update({"point_capacity_init": 1 << 19})
+    # measured region (growth = recompile): the workload peaks at ~22.5k
+    # points, well under 2^17. The round-5 capacity A/B measured the padded
+    # buffer cost directly — full-buffer masked Adam + grad zeros scale with
+    # CAP, so 2^19 (r04's pin) cost 0.57 s/mapped-frame over 2^17:
+    #   2^17 -> 1.236 fps  (mapped p50 3.44 s)   output/bench_capab_131072.log
+    #   2^18 -> 1.201 fps  (mapped p50 3.63 s)   output/bench_capab_262144.log
+    #   2^19 -> 1.096 fps  (mapped p50 4.01 s)   BENCH_r04.json
+    # quality identical (ATE no-align 0.231 cm at all three). 2^17 is also
+    # the config.py default; growth past it is a capacity-doubling event
+    # outside the measured region by construction.
+    cfg["tpu"].update({"point_capacity_init": 1 << 17})
     # sweep hook: BENCH_TPU_OVERRIDES='{"knn_probes": 27}' runs the identical
     # harness with tpu-knob overrides (A/B sweeps quote the same statistics)
     overrides = json.loads(os.environ.get("BENCH_TPU_OVERRIDES", "{}"))

@@ -47,7 +47,7 @@ def capture(outdir: str) -> None:
         "every_frame": 5, "lazy_start": False, "color_refine": False,
     })
     cfg["rendering"]["sample_near_pcl"] = False
-    cfg["tpu"].update({"point_capacity_init": 1 << 19})
+    cfg["tpu"].update({"point_capacity_init": 1 << 17})  # bench.py's pin
     if os.environ.get("TRACE_SMALL"):  # CPU smoke-test of the capture path
         cfg["cam"].update({"H": 120, "W": 160, "fx": 100.0, "fy": 100.0,
                            "cx": 79.5, "cy": 59.5})
