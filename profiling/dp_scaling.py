@@ -174,19 +174,23 @@ def _type_bytes_and_shapes(type_str):
 def audit_hlo(compiled, cap):
     """Optimized-HLO collective audit of a compiled map_optimize."""
     hlo = compiled.as_text()
-    # async collectives appear as -start/-done pairs; count -start only
+    # async collectives appear as -start/-done pairs; count -start only.
+    # The result TYPE may be a long variadic tuple carrying /*index=N*/
+    # comments (which contain '='), so the type string is everything
+    # between the first '=' and the op-name token — never a [^=] match.
     coll_re = re.compile(
-        r"=\s+(\(?[^=]*?)\s*(all-reduce|all-gather|reduce-scatter|"
+        r"\s(all-reduce|all-gather|reduce-scatter|"
         r"collective-permute|all-to-all)(-start)?\(")
     colls = []
     for line in hlo.splitlines():
         if "-done(" in line:
             continue
         m = coll_re.search(line)
-        if not m:
+        if not m or "=" not in line[:m.start()]:
             continue
-        nbytes, shapes = _type_bytes_and_shapes(m.group(1))
-        colls.append({"op": m.group(2), "shapes": shapes,
+        type_str = line[line.index("=") + 1:m.start()]
+        nbytes, shapes = _type_bytes_and_shapes(type_str)
+        colls.append({"op": m.group(1), "shapes": shapes,
                       "mbytes": round(nbytes / 1e6, 3)})
     cap_sig = re.compile(rf"\[{cap},72\]")
     # the required pattern: the (CAP,72) feature grad rides an all-reduce

@@ -110,6 +110,28 @@ def main():
         "wall_excluded_gaps_s": round(gaps, 1),
         "final_segment_timing": {k: round(v, 1) for k, v in final.items()
                                  if k.startswith("time_")},
+        # accounting check (VERDICT r4 #6): the main-thread phase buckets
+        # (track/map/wait/log/io/other) must sum to ~wall_active for runs
+        # recorded after the round-5 attribution change; prefetch_* are
+        # worker-side overlapped counters excluded from the sum. NOTE:
+        # active_wall() spans ALL segments of a killed+resumed run while
+        # final_segment_timing covers only the last segment, so compare
+        # against time_wall_active when present.
+        "timing_accounting": (lambda phases: {
+            "phase_sum_s": round(sum(phases.values()), 1),
+            "segment_wall_s": round(final.get("time_wall_active",
+                                              float("nan")), 1),
+            "unattributed_s": round(
+                final.get("time_wall_active", float("nan"))
+                - sum(phases.values()), 1),
+            "note": ("pre-round-5 segment: only track/map/io were "
+                     "attributed" if "time_wait" not in final else
+                     "buckets: track/map/io/wait/log/other"),
+        })({k: v for k, v in final.items()
+            if k.startswith("time_") and not k.startswith("time_prefetch")
+            and k != "time_wall_active"}),
+        "final_memory": {k: final[k] for k in final
+                         if k.startswith("mem_")},
         "render_metrics": render,
         "recon_eval": recon,
         "eval_memory": mem,
