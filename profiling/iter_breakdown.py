@@ -32,7 +32,11 @@ cfg["mapping"].update({
     "geo_iter_first": 30, "mapping_window_size": 12, "keyframe_every": 5,
 })
 cfg["rendering"]["sample_near_pcl"] = False
-cfg["tpu"].update({"point_capacity_init": 1 << 19})
+# env overrides so the ladder can run at bench-matched shapes
+# (IB_CAP=131072 IB_NPTS=22500 matches the round-5 bench workload)
+import os as _os
+_CAP_INIT = int(_os.environ.get("IB_CAP", 1 << 19))
+cfg["tpu"].update({"point_capacity_init": _CAP_INIT})
 cfg["verbose"] = False
 
 ds = get_dataset(cfg)
@@ -43,7 +47,7 @@ _, color, depth, c2w = ds[0]
 
 # realistic 300k-point cloud
 CAP = mapper.cloud.pos.shape[0]
-NPTS = 300_000
+NPTS = int(_os.environ.get("IB_NPTS", 300_000))
 u = rng.uniform(-2.5, 2.5, (NPTS, 2)).astype(np.float32)
 pts = np.stack([u[:, 0], u[:, 1],
                 -2.0 + 0.3 * np.sin(u[:, 0] * 3)], -1).astype(np.float32)
