@@ -18,10 +18,15 @@ TPU v5e (``TPU v5 lite``) peaks used (public spec):
   HBM   819 GB/s
   VPU   ~4.9 TFLOP/s f32 (8 MiB vregs, 4 ALUs x 8x128 lanes x 940 MHz)
 
-Random-access gathers/scatters cannot reach streaming HBM bandwidth; for
-those rungs the table reports the streaming-equivalent utilization AND a
-sparse-access bound of one 32B-granule transaction per element, which is
-the realistic ceiling for <=16 B elements scattered across the table.
+Random-access gathers/scatters cannot reach streaming HBM bandwidth: they
+are DESCRIPTOR-rate bound at the measured ~80-140M rows/s (ROW_RATE below,
+knn_split round-1 calibration; scatter-add pays it twice for the RMW).
+That wall governs the three row-indexed rungs (kNN bucket gather, feature
+row gather, backward scatter) and is the dominant term of the iteration's
+speed-of-light: ~7.1 ms of the measured ~11.1 ms at bench shapes. The
+headroom that remains live is kNN kernel internals above its gather bound
+(~2 ms), the per-iteration median sort in ray sampling, and Adam/window
+sweeps — NOT the MXU (mfu is microscopic by design: the FLOPs are tiny).
 
 Usage:
     python profiling/roofline.py [trace_analyze.log]
@@ -45,6 +50,13 @@ PEAK_F32_HIGHEST = PEAK_BF16 / 6.0   # 6-pass f32 (the global bench pin)
 PEAK_VPU = 4.9e12           # elementwise f32
 HBM_BW = 819e9              # streaming
 GATHER_GRANULE = 32.0       # bytes actually moved per random element touch
+# Random ROW touches (gather / scatter-add by index) are DESCRIPTOR-rate
+# bound long before they are byte bound: measured on THIS chip at
+# ~80-140M rows/s across row widths (profiling/knn_split.py round-1:
+# "the gather is at XLA's gather-hardware rate (~80-140M rows/s); Pallas
+# per-row DMA cannot beat it"). The midpoint is the bound the row-indexed
+# rungs are held to; scatter-add rows pay it twice (read-modify-write).
+ROW_RATE = 110e6            # rows/s, measured
 
 
 def _mlp_flops_fwd(params, batch):
@@ -163,11 +175,14 @@ def gather_bytes_effective(gather):
 
 
 def ideal_ms(rung, mxu_peak):
-    """Lower-bound time for one rung: max over its governing bounds."""
+    """Lower-bound time for one rung: max over its governing bounds.
+    Random-row rungs are bound by max(descriptor rate, granule bytes)."""
     t_mxu = rung["flops_mxu"] / mxu_peak
     t_vpu = rung["flops_vpu"] / PEAK_VPU
     t_stream = rung["hbm_bytes"] / HBM_BW
-    t_gather = gather_bytes_effective(rung["gather"]) / HBM_BW
+    n_rows = rung["gather"][0]
+    t_gather = max(gather_bytes_effective(rung["gather"]) / HBM_BW,
+                   n_rows / ROW_RATE)
     return 1e3 * max(t_mxu, t_vpu, t_stream + t_gather), {
         "mxu_ms": round(1e3 * t_mxu, 4), "vpu_ms": round(1e3 * t_vpu, 4),
         "stream_ms": round(1e3 * t_stream, 4),
