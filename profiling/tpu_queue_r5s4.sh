@@ -46,7 +46,7 @@ step() {
 
 cd /root/repo
 
-step knn_stages 1800 python profiling/knn_pallas_stages.py
+step knn_stages 1800 python profiling/knn_prod_stages.py
 cp /tmp/tpuq5d/knn_stages.log output/knn_stages_r5.log 2>/dev/null
 step latency_floor 1200 python profiling/latency_floor.py
 step hw_calibration 1200 python profiling/hw_calibration.py
