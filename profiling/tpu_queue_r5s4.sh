@@ -48,6 +48,8 @@ cd /root/repo
 
 step knn_stages 1800 python profiling/knn_prod_stages.py
 cp /tmp/tpuq5d/knn_stages.log output/knn_stages_r5.log 2>/dev/null
+step sample_stages 1800 python profiling/sample_stages.py
+cp /tmp/tpuq5d/sample_stages.log output/sample_stages_r5.log 2>/dev/null
 step latency_floor 1200 python profiling/latency_floor.py
 step hw_calibration 1200 python profiling/hw_calibration.py
 step trace_capture 2700 python profiling/trace_ops.py capture /tmp/trace_r5
