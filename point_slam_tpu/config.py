@@ -77,7 +77,15 @@ TPU_DEFAULTS: Dict[str, Any] = {
                                           # bytes. Selection-only precision
                                           # (renderer recomputes exact dists
                                           # from winners); see ops/knn.py.
-                                          # 'auto' (TPU only)|True|False.
+                                          # 'auto' (TPU only)|True|False,
+                                          # or 'fused': coords+ids in ONE
+                                          # (TABLE+1, 2C) i32 plane — halves
+                                          # the bucket-row count again (one
+                                          # 2C-wide row per probe); costs
+                                          # one extra d2-quantization lane
+                                          # bit (selection-only). A/B'd by
+                                          # profiling/knn_prod_stages.py +
+                                          # BENCH_TPU_OVERRIDES.
                                           # Measured end-to-end on TPU v5e
                                           # (profiling/knn_packed_ab.py):
                                           # mapping full step 14.97 -> 13.96

@@ -612,7 +612,8 @@ class Mapper:
         if packed == "auto":
             # CPU keeps the f32 planes (determinism golden; metric parity)
             packed = jax.default_backend() not in ("cpu",)
-        self.packed_coords = bool(packed)
+        # 'fused' keeps the string; True/False/auto stay boolean
+        self.packed_coords = packed if packed == "fused" else bool(packed)
         self.index = pc.build_index(self.cloud, self.cell_size,
                                     self.table_size, self.max_per_cell,
                                     self.packed_coords)

@@ -169,6 +169,8 @@ def insert_grid_index(index: GridIndex, points: jnp.ndarray,
     — ~60 ms saved per mapped frame (two densifies), and the gap grows with
     capacity (the rebuild is O(CAP log CAP); this is O(batch)).
     """
+    if isinstance(index, FusedGridIndex):
+        return _insert_fused_grid_index(index, points, ids, valid)
     if isinstance(index, PackedGridIndex):
         return _insert_packed_grid_index(index, points, ids, valid)
     table_size = index.table_size
@@ -270,6 +272,41 @@ class PackedGridIndex(NamedTuple):
         return self.pxyz.shape[1]
 
 
+class FusedGridIndex(NamedTuple):
+    """PackedGridIndex with coords + ids in ONE (TABLE+1, 2C) i32 plane.
+
+    Row layout per bucket: [:, :C] lattice-packed coords (as PackedGridIndex
+    .pxyz, -1 empty), [:, C:] the f32-VALUED point id BITCAST to i32 (+inf
+    bits where empty). One probe gather touches ONE 2C-wide row instead of
+    two C-wide rows — halves the bucket-row count of the ray-kNN gather,
+    which profiling/knn_prod_stages.py measures as row-count vs byte bound.
+    Integer storage of the id bits is safe where f32 storage of BITCAST ids
+    was not (the denormal-flush trap, see build_grid_index): no f32
+    arithmetic ever touches the bit pattern until the kernel bitcasts it
+    back. Gated by tpu.knn_packed_coords == 'fused'.
+    """
+    plane: jnp.ndarray       # (TABLE+1, 2C) i32
+    cell_size: jnp.ndarray   # () f32
+    counts: jnp.ndarray      # (TABLE+1,) i32 TRUE per-bucket point count
+
+    @property
+    def table_size(self) -> int:
+        return self.plane.shape[0] - 1
+
+    @property
+    def max_per_cell(self) -> int:
+        return self.plane.shape[1] // 2
+
+    @property
+    def pxyz(self) -> jnp.ndarray:
+        return self.plane[:, :self.max_per_cell]
+
+    @property
+    def pid(self) -> jnp.ndarray:
+        return jax.lax.bitcast_convert_type(
+            self.plane[:, self.max_per_cell:], jnp.float32)
+
+
 def _pack_lattice(points: jnp.ndarray, cell_size) -> jnp.ndarray:
     """(.., 3) f32 -> (..,) i32 packed 10-bit lattice coords (mod 1024)."""
     g = jnp.asarray(cell_size, jnp.float32) / _Q_PER_CELL
@@ -348,6 +385,66 @@ def _insert_packed_grid_index(index: PackedGridIndex, points: jnp.ndarray,
                            index.cell_size, counts)
 
 
+def _fused_dst(dst: jnp.ndarray, c: int, table_size: int):
+    """Map a _slot_plan flat slot (bucket*c + rank) into the fused plane's
+    flat coordinates: coords at bucket*2c + rank, ids at +c. Parked slots
+    ((table_size+1)*c) stay out of range for mode='drop'."""
+    parked = dst >= (table_size + 1) * c
+    coord = (dst // c) * (2 * c) + dst % c
+    oob = (table_size + 1) * (2 * c)
+    return jnp.where(parked, oob, coord), jnp.where(parked, oob, coord + c)
+
+
+@functools.partial(jax.jit, static_argnames=("table_size", "max_per_cell"))
+def build_fused_grid_index(points: jnp.ndarray, n_points: jnp.ndarray,
+                           cell_size: jnp.ndarray, table_size: int = 1 << 16,
+                           max_per_cell: int = 96) -> FusedGridIndex:
+    """build_packed_grid_index with the one-plane fused layout."""
+    cap = points.shape[0]
+    c = max_per_cell
+    valid = jnp.arange(cap) < n_points
+    cells = jnp.floor(points / cell_size).astype(jnp.int32)
+    h = _hash_cells(cells, table_size).astype(jnp.int32)
+    h = jnp.where(valid, h, table_size)
+    order, dst = _slot_plan(h, table_size, c)
+    dst_c, dst_i = _fused_dst(dst, c, table_size)
+
+    empty = jnp.tile(jnp.concatenate(
+        [jnp.full((c,), -1, jnp.int32),
+         jnp.full((c,), 0x7F800000, jnp.int32)]), table_size + 1)
+    flat = empty.at[dst_c].set(_pack_lattice(points, cell_size)[order],
+                               mode="drop")
+    flat = flat.at[dst_i].set(jax.lax.bitcast_convert_type(
+        order.astype(jnp.float32), jnp.int32), mode="drop")
+    counts = jnp.zeros((table_size + 1,), jnp.int32).at[
+        jnp.where(valid, h, table_size + 1)].add(1, mode="drop")
+    return FusedGridIndex(flat.reshape(table_size + 1, 2 * c),
+                          jnp.asarray(cell_size, jnp.float32), counts)
+
+
+@jax.jit
+def _insert_fused_grid_index(index: FusedGridIndex, points: jnp.ndarray,
+                             ids: jnp.ndarray,
+                             valid: jnp.ndarray) -> FusedGridIndex:
+    """insert_grid_index for the fused layout (same append contract)."""
+    table_size = index.table_size
+    c = index.max_per_cell
+    cells = jnp.floor(points / index.cell_size).astype(jnp.int32)
+    h = _hash_cells(cells, table_size).astype(jnp.int32)
+    h = jnp.where(valid, h, table_size)
+    order, dst = _slot_plan(h, table_size, c, base_counts=index.counts)
+    dst_c, dst_i = _fused_dst(dst, c, table_size)
+
+    flat = index.plane.reshape(-1).at[dst_c].set(
+        _pack_lattice(points, index.cell_size)[order], mode="drop")
+    flat = flat.at[dst_i].set(jax.lax.bitcast_convert_type(
+        ids[order].astype(jnp.float32), jnp.int32), mode="drop")
+    counts = index.counts.at[
+        jnp.where(valid, h, table_size + 1)].add(1, mode="drop")
+    return FusedGridIndex(flat.reshape(table_size + 1, 2 * c),
+                          index.cell_size, counts)
+
+
 # The 27 neighbor-cell offsets, static.
 _OFFSETS = jnp.array(
     [[dx, dy, dz] for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
@@ -383,7 +480,7 @@ def grid_knn(index: GridIndex, queries: jnp.ndarray, k: int = 8):
         jnp.arange(27)[None, :, None] > jnp.arange(27)[None, None, :])
     probe_ok = ~jnp.any(dup, axis=-1)  # (Q, 27)
 
-    if isinstance(index, PackedGridIndex):
+    if isinstance(index, (PackedGridIndex, FusedGridIndex)):
         x, y, z = _unpack_lattice(index.pxyz[hs])            # (Q,27,C)
         qm = _query_lattice(q, index.cell_size)              # (Q,3)
         dx = _wrap_diff(x - qm[:, None, None, 0])
@@ -594,6 +691,40 @@ def _ray_topk_kernel_packed(ns: int, k: int, pc: int, lane_mask: int):
     return kernel
 
 
+def _ray_topk_kernel_fused(ns: int, k: int, pc2: int, lane_mask: int, c: int):
+    """_ray_topk_kernel_packed over the fused (coords|ids) candidate block.
+
+    The block interleaves per-probe [C coord lanes | C id-bit lanes]; id
+    lanes get +inf d2 so they never win selection, and a winner at coord
+    lane l reads its id bits (f32-valued id, bitcast) from lane l + C of
+    the same probe row — no second gathered plane at all. One extra lane
+    bit of d2 quantization vs the two-plane kernel (selection-only; exact
+    distances are recomputed from winner coordinates by the caller)."""
+    def kernel(v_ref, qx_ref, qy_ref, qz_ref, out_p_ref, out_i_ref):
+        V = v_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, V.shape, 1)
+        is_coord = (lane % (2 * c)) < c
+        X, Y, Z = _unpack_lattice(V)
+        CI = jax.lax.bitcast_convert_type(V, jnp.float32)
+        inf = jnp.float32(jnp.inf)
+        for s in range(ns):
+            dx = _wrap_diff(X - qx_ref[:, s][:, None])
+            dy = _wrap_diff(Y - qy_ref[:, s][:, None])
+            dz = _wrap_diff(Z - qz_ref[:, s][:, None])
+            d2 = jnp.where(is_coord, dx * dx + dy * dy + dz * dz, inf)
+            packed = ((jax.lax.bitcast_convert_type(d2, jnp.int32)
+                       & ~jnp.int32(lane_mask)) | lane)
+            for kk in range(k):
+                m = jnp.min(packed, axis=-1, keepdims=True)  # (BLK, 1)
+                win = m & lane_mask
+                out_p_ref[:, s * k + kk] = m[:, 0]
+                out_i_ref[:, s * k + kk] = jnp.sum(
+                    jnp.where(lane == win + c, CI, 0.0), axis=-1)
+                packed = jnp.where(lane == win, jnp.int32(0x7FFFFFFF),
+                                   packed)
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("k", "probes"))
 def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8,
                  probes: int = 0):
@@ -639,7 +770,28 @@ def ray_grid_knn(index: GridIndex, q_rays: jnp.ndarray, k: int = 8,
     out_shape = [jax.ShapeDtypeStruct((rp, ns * k), jnp.int32),
                  jax.ShapeDtypeStruct((rp, ns * k), jnp.float32)]
     interpret = jax.default_backend() == "cpu"
-    if isinstance(index, PackedGridIndex):
+    if isinstance(index, FusedGridIndex):
+        # ONE fused (coords|ids) row per probe: HALF the bucket-row count
+        # of the two-plane packed gather (row-DMA-rate bound, see
+        # profiling/knn_prod_stages.py). Same selection semantics up to one
+        # extra quantization lane bit.
+        pc2 = p_ray * 2 * c
+        lane_mask = (1 << (pc2 - 1).bit_length()) - 1
+        cv = index.plane[probe_rows].reshape(rp, pc2)        # (R, P*2C) i32
+        qm = _query_lattice(q, index.cell_size)              # (R, ns, 3)
+        bs_c2 = pl.BlockSpec((_RAY_BLK, pc2), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        packed, ids = pl.pallas_call(
+            _ray_topk_kernel_fused(ns, k, pc2, lane_mask, c),
+            grid=(rp // _RAY_BLK,),
+            in_specs=[bs_c2, bs_q, bs_q, bs_q],
+            out_specs=[bs_o, bs_o],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(cv, qm[..., 0], qm[..., 1], qm[..., 2])
+        g = index.cell_size / _Q_PER_CELL
+        d2_scale = g * g                                     # quanta^2 -> m^2
+    elif isinstance(index, PackedGridIndex):
         # ONE packed-coordinate row + the id row per probe: 8 bytes/slot
         # gathered instead of 16, half the gather rows. Queries go in as
         # continuous lattice coordinates (mod 1024).

@@ -231,8 +231,11 @@ def add_points(state: CloudState, index: knn.GridIndex,
 
 
 def build_index(state: CloudState, cell_size, table_size: int = 1 << 16,
-                max_per_cell: int = 96, packed_coords: bool = False):
-    build = (knn.build_packed_grid_index if packed_coords
+                max_per_cell: int = 96, packed_coords=False):
+    """packed_coords: False (f32 planes), True (packed coords + id plane),
+    or 'fused' (one coords|ids plane — halves kNN probe gather rows)."""
+    build = (knn.build_fused_grid_index if packed_coords == "fused"
+             else knn.build_packed_grid_index if packed_coords
              else knn.build_grid_index)
     return build(state.pos, state.n_points,
                  jnp.asarray(cell_size, jnp.float32),

@@ -122,6 +122,19 @@ def s_full(k, b):
     return mix(k, dists, idx, valid, compact)
 
 
+fused_index = knn.build_fused_grid_index(
+    jnp.asarray(pos), jnp.asarray(NPTS), jnp.asarray(CELL), TABLE, C)
+BIG["findex"] = fused_index
+jax.block_until_ready(jax.tree_util.tree_leaves(BIG))
+
+
+def s_full_fused(k, b):
+    q = jitter(k, b)
+    dists, idx, valid, compact = knn.ray_grid_knn(
+        b["findex"], q, k=K, probes=PROBES)
+    return mix(k, dists, idx, valid, compact)
+
+
 def g_one_plane(k, b):
     rows, _ = probe_rows(k, b)
     return mix(k, b["index"].pxyz[rows])
@@ -140,8 +153,10 @@ def g_fused_wide(k, b):
 t1 = chain("s1 probes            ", s_probes)
 t2 = chain("s2 +plane gathers    ", s_gathers)
 t3 = chain("s3 full ray_grid_knn ", s_full)
+t3f = chain("s3f full FUSED plane ", s_full_fused)
 print(f"-> probes {t1 * 1e3:.2f} | gathers {(t2 - t1) * 1e3:.2f} | "
-      f"pallas d2/top8 {(t3 - t2) * 1e3:.2f} ms", flush=True)
+      f"pallas d2/top8 {(t3 - t2) * 1e3:.2f} ms | fused full "
+      f"{t3f * 1e3:.2f} (vs {t3 * 1e3:.2f})", flush=True)
 
 g1 = chain("g  one 64-wide plane ", g_one_plane)
 g2 = chain("g  two 64-wide planes", g_two_planes)

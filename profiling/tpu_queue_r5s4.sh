@@ -52,6 +52,9 @@ step sample_stages 1800 python profiling/sample_stages.py
 cp /tmp/tpuq5d/sample_stages.log output/sample_stages_r5.log 2>/dev/null
 step latency_floor 1200 python profiling/latency_floor.py
 step hw_calibration 1200 python profiling/hw_calibration.py
+step bench_fused 2700 env BENCH_TPU_OVERRIDES='{"knn_packed_coords": "fused"}' \
+  python bench.py
+cp /tmp/tpuq5d/bench_fused.log output/bench_fused_r5.log 2>/dev/null
 step trace_capture 2700 python profiling/trace_ops.py capture /tmp/trace_r5
 step trace_analyze 900 python profiling/trace_ops.py analyze /tmp/trace_r5 60
 cp /tmp/tpuq5d/trace_analyze.log output/trace_ops_r5.log 2>/dev/null

@@ -450,3 +450,78 @@ def test_packed_wraparound_alias_is_harmless():
     exact = ((q[0] - pts[i[0]]) ** 2).sum(-1)
     far = (i[0] == 1) & v[0]
     assert np.all(exact[far] > 1.0)
+
+
+def test_fused_plane_matches_packed_planes():
+    """The fused (coords|ids) plane's pxyz/pid views are bitwise identical
+    to the two-plane packed build on the same cloud (same _slot_plan, same
+    lattice packing, id bits stored bitcast)."""
+    cap, n = 4096, 3000
+    pts, rng = make_cloud(n, cap, seed=5, scale=0.8)
+    p = knn.build_packed_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                                    jnp.asarray(0.2), table_size=1 << 10,
+                                    max_per_cell=16)
+    f = knn.build_fused_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                                   jnp.asarray(0.2), table_size=1 << 10,
+                                   max_per_cell=16)
+    np.testing.assert_array_equal(np.asarray(f.pxyz), np.asarray(p.pxyz))
+    np.testing.assert_array_equal(np.asarray(f.pid), np.asarray(p.pid))
+    np.testing.assert_array_equal(np.asarray(f.counts), np.asarray(p.counts))
+
+
+def test_fused_ray_grid_knn_matches_grid_knn():
+    """The fused-plane Pallas ray kernel agrees with per-sample grid_knn on
+    in-radius sets (mirrors test_packed_ray_grid_knn_matches_packed_grid_knn
+    — same scene, same contract, one gathered plane instead of two)."""
+    cap, n, n_rays, ns = 4096, 3000, 64, 5
+    radius = 0.2
+    pts, rng = make_cloud(n, cap, seed=5, scale=0.8)
+    q = _ray_queries(pts, n, rng, n_rays, ns)
+    index = knn.build_fused_grid_index(jnp.asarray(pts), jnp.asarray(n),
+                                       jnp.asarray(radius),
+                                       table_size=1 << 14)
+    gd, gi, gv = knn.grid_knn(index, jnp.asarray(q.reshape(-1, 3)), k=8)
+    rd, ri, rv, compact = knn.ray_grid_knn(index, jnp.asarray(q), k=8)
+    assert np.all(np.asarray(compact))
+    flat_q = q.reshape(-1, 3)
+    gi, gv = np.asarray(gi), np.asarray(gv)
+    ri, rv = np.asarray(ri), np.asarray(rv)
+    ge_d = np.where(gv, ((flat_q[:, None, :] - pts[gi]) ** 2).sum(-1), np.inf)
+    re_d = np.where(rv, ((flat_q[:, None, :] - pts[ri]) ** 2).sum(-1), np.inf)
+    r2 = radius ** 2
+    g_sorted = np.sort(ge_d, axis=1)
+    r_sorted = np.sort(re_d, axis=1)
+    in_r = g_sorted < r2
+    np.testing.assert_allclose(np.where(in_r, g_sorted, 0.0),
+                               np.where(in_r, r_sorted, 0.0),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_array_equal((g_sorted < r2).sum(1),
+                                  (r_sorted < r2).sum(1))
+
+
+def test_fused_insert_matches_rebuild():
+    """Incremental append on the fused table is bit-identical to a full
+    rebuild (same contract as the packed/f32 planes)."""
+    cap = 4096
+    pts, rng = make_cloud(cap, cap, seed=3, scale=0.6)
+    cell = jnp.asarray(0.3)
+    splits = [0, 700, 701, 1800, 1800, 2500, 4096]
+    c = 8
+
+    idx = knn.build_fused_grid_index(jnp.asarray(pts), jnp.asarray(splits[1]),
+                                     cell, table_size=256, max_per_cell=c)
+    for lo, hi in zip(splits[1:-1], splits[2:]):
+        m = 1700
+        rows = np.full((m, 3), 1e6, np.float32)
+        rows[:hi - lo] = pts[lo:hi]
+        ids = lo + np.arange(m, dtype=np.int32)
+        valid = np.arange(m) < (hi - lo)
+        idx = knn.insert_grid_index(idx, jnp.asarray(rows),
+                                    jnp.asarray(ids), jnp.asarray(valid))
+        ref = knn.build_fused_grid_index(jnp.asarray(pts), jnp.asarray(hi),
+                                         cell, table_size=256,
+                                         max_per_cell=c)
+        np.testing.assert_array_equal(
+            np.asarray(idx.plane), np.asarray(ref.plane), err_msg=f"@ {hi}")
+        np.testing.assert_array_equal(
+            np.asarray(idx.counts), np.asarray(ref.counts))
