@@ -105,14 +105,52 @@ def dynamic_radius_maps(color: jnp.ndarray, radius_add_max: float,
     return r_add, r_query
 
 
-def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Median over masked entries, torch.median semantics (lower middle:
-    sorted[(n-1)//2]). Returns +inf if the mask is empty."""
+def masked_median_sort(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over masked entries via a full sort (the reference
+    implementation masked_median is checked against)."""
     big = jnp.asarray(jnp.inf, x.dtype)
     vals = jnp.sort(jnp.where(mask, x, big))
     n = jnp.sum(mask)
     idx = jnp.maximum(n - 1, 0) // 2
     return vals[idx]
+
+
+def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over masked entries, torch.median semantics (lower middle:
+    sorted[(n-1)//2]). Returns +inf if the mask is empty.
+
+    EXACT selection without a sort: 32-step bitwise radix descent over the
+    monotonic f32<->uint order embedding — bit-identical to
+    masked_median_sort on any finite input incl. negatives and +-0
+    (property-tested), but O(32 n) elementwise work instead of a full
+    device sort. This runs once per mapping/tracking iteration on the ray
+    depth batch (src/Mapper.py:507-509 computes the batch median per
+    iteration), where the 5000-element sort was a measurable slice of the
+    sampling rung (profiling/sample_stages.py)."""
+    x = jnp.asarray(x)
+    big = jnp.asarray(jnp.inf, x.dtype)
+    v = jnp.where(mask, x, big)
+    b = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+    u = jnp.where(b < 0, ~b, b | jnp.int32(-2147483648)).astype(jnp.uint32)
+    n = jnp.sum(mask)
+    target = (jnp.maximum(n - 1, 0) // 2).astype(jnp.uint32)
+
+    def body(i, carry):
+        prefix, k_rem = carry
+        shift = 31 - i
+        # elements matching the decided high bits with current bit 0
+        zeros = jnp.sum(u >> shift == prefix >> shift).astype(jnp.uint32)
+        go_high = k_rem >= zeros
+        bit = jnp.uint32(1) << shift
+        return (jnp.where(go_high, prefix | bit, prefix),
+                jnp.where(go_high, k_rem - zeros, k_rem))
+
+    prefix, _ = jax.lax.fori_loop(0, 32, body, (jnp.uint32(0), target))
+    bi = jnp.where((prefix & jnp.uint32(0x80000000)) != 0,
+                   (prefix & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32),
+                   ~prefix.astype(jnp.int32))
+    val = jax.lax.bitcast_convert_type(bi, jnp.float32).astype(x.dtype)
+    return jnp.where(n > 0, val, big)
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -9,9 +9,8 @@ small ops. This micro times, at bench shapes (12-frame 680x1200 window,
 
   s1 full       _sample_window_rays as shipped
   s2 nomedian   same but median/max filter replaced by a constant
-  s3 sort5k     jnp.sort of a 5000-f32 vector alone
-  s4 radixsel   exact masked median via 32-step bitwise radix-select
-                (drop-in replacement candidate: same value, no sort)
+  s3 sortmed    masked_median_sort (full-sort median) alone
+  s4 radixsel   the SHIPPED masked_median (32-step radix-select)
 
 If (s1 - s2) ~ s3 and s4 << s3, swapping masked_median's sort for the
 radix-select is an exact-semantics win.
@@ -103,7 +102,7 @@ def s_nomedian(k, b):
 
 def s_sort5k(k, b):
     d = b["depths"] + jax.random.normal(k, (R,)) * 1e-3
-    return mix(k, jnp.sort(d))
+    return mix(k, image.masked_median_sort(d, d > 0))
 
 
 def radix_select_median(x, mask):
@@ -143,7 +142,7 @@ def radix_select_median(x, mask):
 def s_radixsel(k, b):
     d = b["depths"] + jax.random.normal(k, (R,)) * 1e-3
     m = d > 0
-    return mix(k, radix_select_median(d, m))
+    return mix(k, image.masked_median(d, m))
 
 
 # correctness check of the radix-select vs the shipped sort-median
@@ -152,8 +151,8 @@ for trial in range(20):
     _k, sk = jax.random.split(_k)
     d = jax.random.uniform(sk, (R,), minval=0.0, maxval=8.0)
     m = d > jax.random.uniform(sk, (R,))
-    a = image.masked_median(d, m)
-    bsel = radix_select_median(d, m)
+    a = image.masked_median_sort(d, m)
+    bsel = image.masked_median(d, m)
     assert (np.isinf(float(a)) and np.isinf(float(bsel))) or \
         float(a) == float(bsel), (trial, float(a), float(bsel))
 print("radix_select_median == masked_median on 20 random trials", flush=True)

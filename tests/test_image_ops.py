@@ -69,3 +69,30 @@ def test_masked_mean_max():
     m = jnp.asarray([True, True, True, False])
     assert float(image.masked_mean(x, m)) == 2.0
     assert float(image.masked_max(x, m)) == 3.0
+
+
+def test_masked_median_radix_matches_sort():
+    """The shipped radix-select masked_median is bit-identical to the
+    full-sort reference on every edge: duplicates, negatives, +-0, inf
+    fills, empty mask, single element, even/odd counts."""
+    import jax
+    import jax.numpy as jnp
+    from point_slam_tpu.common import image
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for n in (1, 2, 3, 5000):
+        x = rng.normal(0, 3, n).astype(np.float32)
+        m = rng.random(n) < 0.7
+        cases.append((x, m))
+    x = np.array([1.0, 1.0, 1.0, 2.0, -0.0, 0.0, -5.5], np.float32)
+    cases.append((x, np.ones(7, bool)))
+    cases.append((x, np.zeros(7, bool)))          # empty mask -> +inf
+    cases.append((np.full(9, 2.5, np.float32), np.ones(9, bool)))
+    for x, m in cases:
+        a = float(image.masked_median_sort(jnp.asarray(x), jnp.asarray(m)))
+        b = float(image.masked_median(jnp.asarray(x), jnp.asarray(m)))
+        if np.isinf(a):
+            assert np.isinf(b)
+        else:
+            assert a == b, (a, b, x[m][np.argsort(x[m])])
