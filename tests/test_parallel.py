@@ -158,3 +158,22 @@ def test_dp_tracking_matches_single_device():
     np.testing.assert_allclose(res1["best_loss"], res8["best_loss"],
                                rtol=5e-3)
     np.testing.assert_allclose(res1["c2w"], res8["c2w"], rtol=2e-3, atol=2e-4)
+
+
+def test_dp8_mapping_with_fused_knn_table():
+    """The fused (coords|ids) cell table composes with the shard_map kNN
+    dispatch under dp=8 (interpret-mode kernel on the CPU mesh)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = pmesh.make_mesh(8)
+    pmesh.set_mesh(mesh)
+    try:
+        cfg = tiny_cfg(dp=8)
+        cfg["tpu"]["ray_knn"] = True
+        cfg["tpu"]["knn_packed_coords"] = "fused"
+        mapper, stats = run_frames(cfg, n_map=3)
+        assert stats[-1]["n_points"] > 0
+        packed = np.asarray(mapper.cloud.packed[:mapper.n_points_host])
+        assert np.isfinite(packed).all()
+    finally:
+        pmesh.set_mesh(None)
