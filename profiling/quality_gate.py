@@ -121,9 +121,13 @@ def main():
         commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                                 cwd=HERE, capture_output=True,
                                 text=True).stdout.strip()
-        dirty = bool(subprocess.run(["git", "status", "--porcelain"],
-                                    cwd=HERE, capture_output=True,
-                                    text=True).stdout.strip())
+        # dirty = uncommitted PRODUCT code only (same scope as --check):
+        # evidence files another gate/bench just wrote must not block a
+        # standing run — gate_main updating quality_gate.json would
+        # otherwise wedge gate_sensor right behind it.
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain", "--", *PRODUCT_PATHS],
+            cwd=HERE, capture_output=True, text=True).stdout.strip())
     except Exception:
         commit, dirty = "unknown", True
     if dirty and (not tag or args.standing) \
