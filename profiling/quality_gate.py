@@ -41,6 +41,17 @@ sys.path.insert(0, HERE)
 PRODUCT_PATHS = ["point_slam_tpu", "native", "run.py", "configs"]
 
 
+def product_dirty(cwd=HERE) -> bool:
+    """True when PRODUCT code (point_slam_tpu/, native/, run.py, configs/)
+    has uncommitted changes. Evidence files (output/, docs, profiling/) a
+    previous gate or bench just wrote never block a standing run — the
+    same scope --check uses for staleness."""
+    r = subprocess.run(["git", "status", "--porcelain", "--",
+                        *PRODUCT_PATHS],
+                       cwd=cwd, capture_output=True, text=True)
+    return bool(r.stdout.strip())
+
+
 def check_stale() -> int:
     """Audit committed gate files for staleness vs HEAD product code."""
     import glob
@@ -122,12 +133,9 @@ def main():
                                 cwd=HERE, capture_output=True,
                                 text=True).stdout.strip()
         # dirty = uncommitted PRODUCT code only (same scope as --check):
-        # evidence files another gate/bench just wrote must not block a
-        # standing run — gate_main updating quality_gate.json would
+        # gate_main updating its own tracked quality_gate.json would
         # otherwise wedge gate_sensor right behind it.
-        dirty = bool(subprocess.run(
-            ["git", "status", "--porcelain", "--", *PRODUCT_PATHS],
-            cwd=HERE, capture_output=True, text=True).stdout.strip())
+        dirty = product_dirty()
     except Exception:
         commit, dirty = "unknown", True
     if dirty and (not tag or args.standing) \

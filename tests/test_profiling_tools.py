@@ -78,3 +78,33 @@ def test_memory_report_keys():
     assert "host_peak_rss_bytes" in rep and rep["host_peak_rss_bytes"] > 0
     # device side present in some form on any backend with a client
     assert any(k.startswith("device_") for k in rep)
+
+
+def test_product_dirty_scope(tmp_path):
+    """The gate's dirty check only counts PRODUCT paths: evidence files a
+    previous gate/bench wrote (output/, docs/) must not block a standing
+    run, while uncommitted product code must."""
+    import subprocess
+    import quality_gate as qg
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    run = lambda *a: subprocess.run(a, cwd=repo, capture_output=True,
+                                    check=True)
+    run("git", "init", "-q")
+    run("git", "config", "user.email", "t@t")
+    run("git", "config", "user.name", "t")
+    (repo / "point_slam_tpu").mkdir()
+    (repo / "point_slam_tpu" / "a.py").write_text("x = 1\n")
+    (repo / "output").mkdir()
+    (repo / "output" / "gate.json").write_text("{}\n")
+    run("git", "add", "-A")
+    run("git", "commit", "-qm", "init")
+
+    assert not qg.product_dirty(cwd=str(repo))
+    # evidence churn: not dirty
+    (repo / "output" / "gate.json").write_text('{"new": 1}\n')
+    assert not qg.product_dirty(cwd=str(repo))
+    # product churn: dirty
+    (repo / "point_slam_tpu" / "a.py").write_text("x = 2\n")
+    assert qg.product_dirty(cwd=str(repo))
