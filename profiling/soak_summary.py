@@ -119,11 +119,13 @@ def main():
         # against time_wall_active when present.
         "timing_accounting": (lambda phases: {
             "phase_sum_s": round(sum(phases.values()), 1),
-            "segment_wall_s": round(final.get("time_wall_active",
-                                              float("nan")), 1),
-            "unattributed_s": round(
-                final.get("time_wall_active", float("nan"))
-                - sum(phases.values()), 1),
+            # null (not NaN — invalid strict JSON) when the segment
+            # predates the round-5 wall_active attribution
+            "segment_wall_s": (round(final["time_wall_active"], 1)
+                               if "time_wall_active" in final else None),
+            "unattributed_s": (round(final["time_wall_active"]
+                                     - sum(phases.values()), 1)
+                               if "time_wall_active" in final else None),
             "note": ("pre-round-5 segment: only track/map/io were "
                      "attributed" if "time_wait" not in final else
                      "buckets: track/map/io/wait/log/other"),
