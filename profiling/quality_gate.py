@@ -61,6 +61,17 @@ def check_stale() -> int:
         row = json.load(open(path))
         c = str(row.get("commit", "")).replace("-dirty", "")
         name = os.path.basename(path)
+        # A/B PROBES (tag given without --standing) are historical
+        # evidence, not certifications — only STANDING gates are audited.
+        # Legacy rows predate the "standing" field: the two canonical
+        # standing files are audited, anything else tagged is a probe.
+        standing = row.get("standing",
+                           name in ("quality_gate.json",
+                                    "quality_gate_sensor.json"))
+        if not standing:
+            print(f"probe (not audited): {name} "
+                  f"[{row.get('commit')}, tag={row.get('tag')!r}]")
+            continue
         if row.get("commit", "").endswith("-dirty") or c in ("", "unknown"):
             fails.append(f"{name}: dirty/unknown commit tag "
                          f"{row.get('commit')!r}")
@@ -153,6 +164,7 @@ def main():
 
     row = {
         "tag": tag or "gate",
+        "standing": bool(args.standing or not tag),
         "config": args.config,
         "commit": commit + ("-dirty" if dirty else ""),
         "backend": jax.default_backend(),
