@@ -55,9 +55,13 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+# DPS_NATIVE_PLATFORM=1 keeps the session's real backend (the
+# cond_dup_probe wants the TPU compilation of the SAME build harness);
+# default remains the forced 8-device CPU mesh this audit was built for.
+if not os.environ.get("DPS_NATIVE_PLATFORM"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
 
 import numpy as np
 import jax
@@ -66,7 +70,8 @@ import jax.numpy as jnp
 # the image's sitecustomize registers the remote-TPU plugin and pins
 # jax_platforms before env vars are consulted; override AFTER import like
 # tests/conftest.py does (env alone is ignored once register() ran)
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("DPS_NATIVE_PLATFORM"):
+    jax.config.update("jax_platforms", "cpu")
 
 
 GLOBAL_PIXELS = 2048  # fixed global ray batch across every dp setting
