@@ -128,3 +128,10 @@ def test_ms_ssim_small_image_drops_scales():
     assert np.isfinite(same) and np.isfinite(worse)
     assert same == pytest.approx(1.0, abs=1e-4)
     assert worse < same
+
+
+def test_ms_ssim_tiny_image_raises():
+    # min side < 11 cannot support a single 11-px VALID window
+    a = np.zeros((8, 160, 3), np.float32)
+    with pytest.raises(ValueError):
+        M.ms_ssim(a, a)
